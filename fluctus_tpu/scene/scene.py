@@ -1,0 +1,162 @@
+"""Scene container: triangles, materials, textures, env map.
+
+Equivalent of src/scene.hpp / scene.cpp: dispatches loaders by extension
+(loadModel, scene.cpp:59-120), owns the material list (slot 0 = default
+material), deduplicates textures by name (tryImportTexture, scene.cpp:333-349)
+and carries the multi-model ``.sc.json`` scene-file format
+(loadSceneFile, scene.cpp:864-897).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from .material import HostMaterial, default_material, materials_to_soa
+from .texture import HostTexture, pack_atlas
+
+
+@dataclasses.dataclass
+class ModelTransform:
+    """Per-model scale + translation for .sc.json entries."""
+    scale: float = 1.0
+    translation: tuple = (0.0, 0.0, 0.0)
+
+    def apply(self, p: np.ndarray) -> np.ndarray:
+        return p * self.scale + np.asarray(self.translation, np.float32)
+
+
+class Scene:
+    def __init__(self):
+        self.materials: List[HostMaterial] = [default_material()]
+        self.material_types: int = self.materials[0].type
+        self.textures: List[HostTexture] = []
+        self._tri_chunks = []  # (p [M,3,3], n [M,3,3], t [M,3,2], matId [M])
+        self.envmap = None
+        self.hash: str = ""
+        self.camera_override = None  # set by formats that carry a camera
+
+    # -- geometry -----------------------------------------------------------
+    def append_triangles(self, p, n, t, mat_id):
+        self._tri_chunks.append((np.asarray(p, np.float32),
+                                 np.asarray(n, np.float32),
+                                 np.asarray(t, np.float32),
+                                 np.asarray(mat_id, np.int32)))
+
+    @property
+    def num_triangles(self) -> int:
+        return sum(c[0].shape[0] for c in self._tri_chunks)
+
+    def triangle_arrays(self):
+        """Returns (positions [M,3,3], normals [M,3,3], uvs [M,3,2], matId [M])."""
+        if not self._tri_chunks:
+            z = np.zeros((0, 3, 3), np.float32)
+            return z, z, np.zeros((0, 3, 2), np.float32), np.zeros(0, np.int32)
+        ps = np.concatenate([c[0] for c in self._tri_chunks])
+        ns = np.concatenate([c[1] for c in self._tri_chunks])
+        ts = np.concatenate([c[2] for c in self._tri_chunks])
+        ms = np.concatenate([c[3] for c in self._tri_chunks])
+        return ps, ns, ts, ms
+
+    # -- materials / textures -----------------------------------------------
+    def add_material(self, m: HostMaterial):
+        self.materials.append(m)
+        self.material_types |= m.type
+
+    def try_import_texture(self, folder: str, name: str) -> int:
+        """Dedup-by-name texture import (scene.cpp:333-349). Returns index
+        into self.textures, or -1."""
+        if not name:
+            return -1
+        name = name.replace("\\", "/")
+        for i, t in enumerate(self.textures):
+            if t.name == name:
+                return i
+        path = os.path.join(folder, name)
+        if not os.path.exists(path):
+            # also try name as-is (absolute or relative to cwd)
+            if os.path.exists(name):
+                path = name
+            else:
+                return -1
+        try:
+            tex = HostTexture(path, name)
+        except Exception as e:  # unreadable texture -> no texture
+            print(f"texture load failed for {path}: {e}")
+            return -1
+        self.textures.append(tex)
+        return len(self.textures) - 1
+
+    # -- env map --------------------------------------------------------------
+    def load_env_map(self, filename: str):
+        from ..envmap import EnvironmentMap
+        self.envmap = EnvironmentMap(filename)
+
+    def set_env_map(self, envmap):
+        self.envmap = envmap
+
+    # -- loading ------------------------------------------------------------
+    def load_model(self, filename: str, transform: Optional[ModelTransform] = None):
+        """Extension dispatch, as scene.cpp:59-120."""
+        if filename.endswith(".obj"):
+            from .obj_loader import load_obj
+            load_obj(filename, self, transform)
+        elif filename.endswith(".ply"):
+            from .ply_loader import load_ply
+            load_ply(filename, self, transform)
+        elif filename.endswith(".sc.json"):
+            self.load_scene_file(filename)
+        else:
+            raise ValueError(f"unknown scene format: {filename}")
+        if transform is None:
+            self.hash = file_hash(filename)
+
+    def load_scene_file(self, filename: str):
+        """Multi-model scene file (scene.cpp:864-897)."""
+        folder = os.path.dirname(filename)
+        with open(filename) as f:
+            scene_list = json.load(f)
+        for info in scene_list:
+            tr = ModelTransform()
+            if "scale" in info:
+                tr.scale = float(info["scale"])
+            if "translation" in info and len(info["translation"]) == 3:
+                tr.translation = tuple(info["translation"])
+            sub = info["file"]
+            path = sub if os.path.isabs(sub) else os.path.join(folder, sub)
+            self.load_model(path, tr)
+
+    # -- device upload ------------------------------------------------------
+    def device_materials(self):
+        return materials_to_soa(self.materials)
+
+    def device_textures(self):
+        return pack_atlas(self.textures)
+
+    def scene_bounds(self):
+        p, _, _, _ = self.triangle_arrays()
+        if p.size == 0:
+            return np.zeros(3, np.float32), np.zeros(3, np.float32)
+        flat = p.reshape(-1, 3)
+        return flat.min(axis=0), flat.max(axis=0)
+
+    def world_radius(self) -> float:
+        """Half the scene AABB diagonal (tracer.cpp:77-79)."""
+        lo, hi = self.scene_bounds()
+        return float(np.linalg.norm(hi - lo) * 0.5)
+
+
+def file_hash(filename: str) -> str:
+    """Content hash used to key BVH/state caches. The reference uses
+    xxhash64 (utils.cpp:146-163); we use blake2b-64 — same role, our caches
+    are namespaced separately so there is no format collision."""
+    h = hashlib.blake2b(digest_size=8)
+    with open(filename, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return str(int.from_bytes(h.digest(), "little"))
