@@ -1,0 +1,2 @@
+from .dispatch import (  # noqa: F401
+    ShadingParams, bxdf_sample, bxdf_eval, bxdf_pdf, resolve_material)

@@ -37,21 +37,24 @@ def uniform_sample_disk(seed):
     return sqrt_r * jnp.cos(th), sqrt_r * jnp.sin(th), seed
 
 
-def cos_sample_hemisphere(n: Vec3, seed):
-    """Cosine-weighted hemisphere sample around n (src/utils.cl:111-137).
-
-    Returns (dir, pdf, seed); pdf = cos(theta)/pi.
-    """
-    u1, seed = rand(seed)
-    u2, seed = rand(seed)
+def cos_sample_hemisphere_uv(n: Vec3, u1, u2):
+    """Cosine-weighted hemisphere sample around n (src/utils.cl:111-137)
+    from explicit uniforms. Returns (dir, pdf); pdf = cos(theta)/pi."""
     r1 = TWO_PI * u1
     r2s = jnp.sqrt(u2)
-
     u, v = make_ortho_basis(n)
     d = (u * (jnp.cos(r1) * r2s)
          + v * (jnp.sin(r1) * r2s)
          + n * jnp.sqrt(jnp.maximum(0.0, 1.0 - u2)))
     pdf = dot(n, d) * INV_PI
+    return d, pdf
+
+
+def cos_sample_hemisphere(n: Vec3, seed):
+    """Seed-threading wrapper around cos_sample_hemisphere_uv."""
+    u1, seed = rand(seed)
+    u2, seed = rand(seed)
+    d, pdf = cos_sample_hemisphere_uv(n, u1, u2)
     return d, pdf, seed
 
 

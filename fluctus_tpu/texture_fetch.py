@@ -1,0 +1,52 @@
+"""Device-side texture fetch from the packed atlas.
+
+Port of readTexture/getTexelCoords (src/utils.cl:139-158): nearest-neighbor
+with wrap addressing, clamped to the texture rect, and matGetAlbedo's 2.2
+gamma linearization (utils.cl:161-166 — note the reference applies the gamma
+to the constant fallback color too; reproduced). One uint32 gather per texel.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .scene.texture import TextureAtlas
+from .vec import Vec3, where as vwhere
+
+ONE_255 = jnp.float32(1.0 / 255.0)
+
+
+def fetch_texture(atlas: TextureAtlas, tex_idx, u, v) -> Vec3:
+    """Nearest-with-wrap texel fetch for per-lane texture indices.
+    tex_idx may be -1 (caller masks the result)."""
+    safe = jnp.maximum(tex_idx, 0)
+    w = jnp.take(atlas.width, safe)
+    h = jnp.take(atlas.height, safe)
+    off = jnp.take(atlas.offset, safe)
+
+    x = u * w.astype(jnp.float32)
+    y = v * h.astype(jnp.float32)
+    tx = jnp.mod(jnp.mod(jnp.floor(x).astype(jnp.int32), w) + w, w)
+    ty = jnp.mod(jnp.mod(jnp.floor(y).astype(jnp.int32), h) + h, h)
+    tx = jnp.clip(tx, 0, w - 1)
+    ty = jnp.clip(ty, 0, h - 1)
+
+    texel = jnp.take(atlas.texels, off + ty * w + tx)
+    r = (texel & 0xFF).astype(jnp.float32) * ONE_255
+    g = ((texel >> 8) & 0xFF).astype(jnp.float32) * ONE_255
+    b = ((texel >> 16) & 0xFF).astype(jnp.float32) * ONE_255
+    return Vec3(r, g, b)
+
+
+def mat_get_float3(fallback: Vec3, u, v, tex_idx, atlas: TextureAtlas) -> Vec3:
+    """utils.cl:168-171 — texture if bound, else constant. No gamma."""
+    tex = fetch_texture(atlas, tex_idx, u, v)
+    return vwhere(tex_idx >= 0, tex, fallback)
+
+
+def mat_get_albedo(fallback: Vec3, u, v, tex_idx, atlas: TextureAtlas) -> Vec3:
+    """utils.cl:161-166 — like mat_get_float3 but gamma-linearized (^2.2),
+    applied to the fallback as well (reference behavior)."""
+    val = mat_get_float3(fallback, u, v, tex_idx, atlas)
+    p = lambda c: jnp.power(jnp.maximum(c, 0.0), 2.2)
+    return Vec3(p(val.x), p(val.y), p(val.z))

@@ -7,11 +7,18 @@ backend, settings_default.json debug block).
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the image sets JAX_PLATFORMS=axon
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The image's sitecustomize force-registers the axon TPU plugin, overriding
+# JAX_PLATFORMS from the environment — override it back via the config API.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
 
 import pytest  # noqa: E402
 
