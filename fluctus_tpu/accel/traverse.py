@@ -63,14 +63,20 @@ class TrianglesDevice(NamedTuple):
             mat_id=jnp.asarray(np.asarray(mat_id, np.int32)))
 
 
-class BVHDevice(NamedTuple):
+import dataclasses
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BVHDevice:
     bmin: Vec3                  # [Nn]
     bmax: Vec3
     right_or_start: jnp.ndarray  # int32
     parent: jnp.ndarray          # int32
     n_prims: jnp.ndarray         # int32
     indices: jnp.ndarray         # int32 [K]
-    max_leaf: int                # static: leaf-test unroll length
+    # static: leaf-test unroll length (not traced)
+    max_leaf: int = dataclasses.field(metadata=dict(static=True), default=8)
 
     @staticmethod
     def from_host(bvh: BVHArrays) -> "BVHDevice":

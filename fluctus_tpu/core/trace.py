@@ -1,0 +1,138 @@
+"""Extension-ray tracing: BVH traversal + hit reconstruction + implicit
+area-light intersection + tangent-space normal mapping.
+
+Combines the reference's traceExtension flow (wf_extrays.cl:16-35):
+bvh_intersect -> intersectLight -> hit SoA, with the shading-time normal
+work from wf_logic.cl:207-212 / mk_sample_bsdf.cl:48-54 (normal map applied,
+backface flip).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..accel.traverse import BVHDevice, TrianglesDevice, any_hit, closest_hit
+from ..geom import AreaLight, Hit, MaterialsSoA
+from ..texture_fetch import mat_get_float3
+from ..vec import (Vec3, cross, dot, gather as vgather, lerp_bary, normalize,
+                   where as vwhere)
+
+F32_MAX = jnp.float32(3.4028235e38)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceScene:
+    """All device-resident scene data, passed as one pytree argument."""
+    tris: TrianglesDevice
+    bvh: BVHDevice
+    mats: MaterialsSoA
+    atlas: object           # TextureAtlas
+    env: Optional[object]   # EnvMapTables or None
+    # static: OR of BXDF type bits present (getBxdfDefines analogue)
+    material_types: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+
+def intersect_area_light(orig: Vec3, d: Vec3, light: AreaLight, t_prev):
+    """Quad light intersection for implicit hits (intersect.cl:124-155).
+    Returns (hit_mask, t). Backside hits rejected."""
+    # Solve ray-plane, then check |local coords| <= size
+    denom = dot(d, light.N)
+    facing = denom < 0.0   # reject dot(dir, N) > 0; == 0 -> parallel
+    t = dot(light.pos - orig, light.N) / jnp.where(denom == 0.0, 1.0, denom)
+    p = orig + d * t
+    rel = p - light.pos
+    lx = dot(rel, light.right)
+    ly = dot(rel, light.up)
+    inside = (jnp.abs(lx) <= light.size_x) & (jnp.abs(ly) <= light.size_y)
+    hit = facing & (denom != 0.0) & inside & (t > 0.0) & (t < t_prev)
+    return hit, t
+
+
+def reconstruct_hit(orig: Vec3, d: Vec3, t, tri_idx, u, v,
+                    tris: TrianglesDevice) -> Hit:
+    """Build the Hit record from traversal output (bvh.cl:271-279):
+    P from ray, smooth normal + uv barycentrically interpolated."""
+    safe = jnp.maximum(tri_idx, 0)
+    n = normalize(lerp_bary(u, v, vgather(tris.n0, safe),
+                            vgather(tris.n1, safe), vgather(tris.n2, safe)))
+    uu = (1.0 - u - v) * jnp.take(tris.t0u, safe) + u * jnp.take(tris.t1u, safe) \
+        + v * jnp.take(tris.t2u, safe)
+    vv = (1.0 - u - v) * jnp.take(tris.t0v, safe) + u * jnp.take(tris.t1v, safe) \
+        + v * jnp.take(tris.t2v, safe)
+    mat_id = jnp.where(tri_idx >= 0, jnp.take(tris.mat_id, safe), -1)
+    return Hit(P=orig + d * t, N=n, uv_u=uu, uv_v=vv, t=t,
+               i=tri_idx, area_light_hit=jnp.zeros_like(tri_idx),
+               mat_id=mat_id)
+
+
+def trace_extension(orig: Vec3, d: Vec3, scene: DeviceScene,
+                    area_light: Optional[AreaLight],
+                    check_area_light) -> Hit:
+    """Closest hit + optional implicit area-light quad (wf_extrays.cl:26-29).
+    check_area_light: traced bool (sampleImpl && useAreaLight)."""
+    t, tri, u, v = closest_hit(orig, d, scene.tris, scene.bvh)
+    hit = reconstruct_hit(orig, d, t, tri, u, v, scene.tris)
+    if area_light is not None:
+        l_hit, l_t = intersect_area_light(orig, d, area_light, hit.t)
+        l_hit &= check_area_light
+        hit = Hit(
+            P=vwhere(l_hit, orig + d * l_t, hit.P),
+            N=vwhere(l_hit, Vec3(
+                jnp.broadcast_to(area_light.N.x, t.shape),
+                jnp.broadcast_to(area_light.N.y, t.shape),
+                jnp.broadcast_to(area_light.N.z, t.shape)), hit.N),
+            uv_u=hit.uv_u, uv_v=hit.uv_v,
+            t=jnp.where(l_hit, l_t, hit.t),
+            i=jnp.where(l_hit, 0, hit.i),            # intersect.cl:152
+            area_light_hit=jnp.where(l_hit, 1, hit.area_light_hit),
+            mat_id=jnp.where(l_hit, 0, hit.mat_id))  # intersect.cl:153
+    return hit
+
+
+def trace_shadow(orig: Vec3, d: Vec3, max_len, scene: DeviceScene,
+                 area_light: Optional[AreaLight], check_area_light):
+    """Occlusion query incl. the area light body (wf_shadowrays.cl:27-33)."""
+    occ = any_hit(orig, d, max_len, scene.tris, scene.bvh)
+    if area_light is not None:
+        l_hit, _ = intersect_area_light(orig, d, area_light, max_len)
+        occ |= l_hit & check_area_light
+    return occ
+
+
+def tangent_space_normal(hit: Hit, tris: TrianglesDevice,
+                         mats_mapn, atlas) -> Vec3:
+    """Normal mapping (utils.cl:174-207). mats_mapn: per-lane map_N idx."""
+    has_map = (mats_mapn >= 0) & (hit.i >= 0)
+    default = Vec3.of(0.5, 0.5, 1.0)
+    texn = mat_get_float3(
+        Vec3(jnp.full_like(hit.uv_u, 0.5), jnp.full_like(hit.uv_u, 0.5),
+             jnp.ones_like(hit.uv_u)), hit.uv_u, hit.uv_v, mats_mapn, atlas)
+    texn = texn + texn - 1.0
+
+    safe = jnp.maximum(hit.i, 0)
+    # geometric edges and uv edges
+    e1 = vgather(tris.e1, safe)
+    e2 = vgather(tris.e2, safe)
+    t1u = jnp.take(tris.t1u, safe) - jnp.take(tris.t0u, safe)
+    t1v = jnp.take(tris.t1v, safe) - jnp.take(tris.t0v, safe)
+    t2u = jnp.take(tris.t2u, safe) - jnp.take(tris.t0u, safe)
+    t2v = jnp.take(tris.t2v, safe) - jnp.take(tris.t0v, safe)
+
+    det = t1u * t2v - t1v * t2u
+    inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    tang = normalize((e1 * t2v - e2 * t1v) * inv_det)
+    bitang = normalize((e2 * t1u - e1 * t2u) * inv_det)
+
+    n = Vec3(
+        tang.x * texn.x + bitang.x * texn.y + hit.N.x * texn.z,
+        tang.y * texn.x + bitang.y * texn.y + hit.N.y * texn.z,
+        tang.z * texn.x + bitang.z * texn.y + hit.N.z * texn.z)
+    n = normalize(n)
+    valid = has_map & (det != 0.0)
+    return vwhere(valid, n, hit.N)

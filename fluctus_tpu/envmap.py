@@ -99,18 +99,21 @@ class EnvironmentMap:
                             self.alias_table, self.width, self.height)
 
 
-from typing import NamedTuple  # noqa: E402
+import dataclasses  # noqa: E402
+import jax  # noqa: E402
 
 
-class EnvMapTables(NamedTuple):
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EnvMapTables:
     """Device-resident env map arrays. width/height are static Python ints
-    (aux data, not traced) — they parameterize the gather math."""
+    (pytree metadata, not traced) — they parameterize the gather math."""
     image: Vec3          # flattened [h*w] per channel
     pdf_table: jnp.ndarray
     prob_table: jnp.ndarray
     alias_table: jnp.ndarray
-    width: int
-    height: int
+    width: int = dataclasses.field(metadata=dict(static=True), default=1)
+    height: int = dataclasses.field(metadata=dict(static=True), default=1)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,175 @@
+"""High-level renderer — the Tracer equivalent (src/tracer.cpp).
+
+Owns scene lifecycle (load -> BVH build/cache -> device upload,
+Tracer::init, tracer.cpp:68-93), render parameter assembly
+(resetParams, tracer.cpp:43-65), the exact-spp batch render
+(renderSingle, tracer.cpp:108-182) and image export.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .accel import build_bvh, export_bvh, import_bvh, SplitMode
+from .accel.traverse import BVHDevice, TrianglesDevice
+from .core.integrator_mk import Film, RenderStats, render_sample
+from .core.tonemap import postprocess
+from .core.trace import DeviceScene
+from .geom import AreaLight, Camera, PostProcessParams, RenderConfig, RenderParams
+from .image_io import save_hdr, save_png
+from .scene import Scene
+from .settings import Settings
+from .vec import Vec3
+
+
+class Renderer:
+    def __init__(self, width: int, height: int,
+                 settings: Optional[Settings] = None,
+                 data_dir: str = "data"):
+        self.settings = settings or Settings()
+        s = self.settings
+        self.data_dir = data_dir
+        self.width = int(width * s.render_scale)
+        self.height = int(height * s.render_scale)
+        self.scene: Optional[Scene] = None
+        self.device_scene: Optional[DeviceScene] = None
+        self.config: Optional[RenderConfig] = None
+        self.params: Optional[RenderParams] = None
+        self.film: Optional[Film] = None
+        self.seed = None
+        self.stats = RenderStats.zeros()
+        self._jit_sample = jax.jit(render_sample, static_argnames="config")
+
+    # -- scene lifecycle (Tracer::init) -------------------------------------
+    def load_scene(self, scene_file: str, env_map: Optional[str] = None):
+        s = self.settings
+        scene = Scene()
+        scene.load_model(scene_file)
+        env_name = env_map or s.env_map_name
+        use_env = s.use_env_map
+        if env_name and os.path.exists(env_name):
+            scene.load_env_map(env_name)
+            use_env = True
+        self.scene = scene
+
+        bvh = self._init_hierarchy(scene)
+        self.world_radius = scene.world_radius()
+
+        self.device_scene = DeviceScene(
+            tris=TrianglesDevice.from_arrays(*scene.triangle_arrays()),
+            bvh=BVHDevice.from_host(bvh),
+            mats=scene.device_materials(),
+            atlas=scene.device_textures(),
+            env=scene.envmap.device_tables() if scene.envmap else None,
+            material_types=scene.material_types)
+
+        self.config = RenderConfig(
+            width=self.width, height=self.height,
+            max_bounces=s.max_path_depth,
+            use_env_map=use_env and scene.envmap is not None,
+            use_area_light=s.use_area_light,
+            sample_impl=s.sample_implicit,
+            sample_expl=s.sample_explicit,
+            use_roulette=s.use_russian_roulette,
+            max_spp=s.max_spp,
+            material_types=scene.material_types)
+        self.params = self._make_params()
+        self.reset()
+
+    def _init_hierarchy(self, scene: Scene):
+        """BVH build with binary cache (Tracer::initHierarchy,
+        tracer.cpp:934-952)."""
+        cache_dir = os.path.join(self.data_dir, "hierarchies")
+        cache = os.path.join(cache_dir, f"hierarchy_{scene.hash}.bin")
+        if scene.hash and os.path.exists(cache):
+            t0 = time.time()
+            bvh = import_bvh(cache)
+            print(f"BVH cache hit: {cache} ({time.time()-t0:.2f}s)")
+            return bvh
+        t0 = time.time()
+        p, _, _, _ = scene.triangle_arrays()
+        bvh = build_bvh(p, mode=SplitMode.SAH)
+        print(f"BVH built: {bvh.num_nodes} nodes, depth {bvh.depth()} "
+              f"({time.time()-t0:.2f}s)")
+        if scene.hash:
+            os.makedirs(cache_dir, exist_ok=True)
+            export_bvh(bvh, cache)
+        return bvh
+
+    def _make_params(self) -> RenderParams:
+        s = self.settings
+        c = s.camera
+        a = s.area_light
+        cam = Camera.make(c.pos, c.dir, c.up, c.right, fov=c.fov,
+                          aperture_size=c.aperture_size,
+                          focal_dist=c.focal_dist)
+        light = AreaLight.make(a.pos, a.N, a.right, a.up, a.E, a.size)
+        return RenderParams(
+            camera=cam, area_light=light,
+            env_map_strength=jnp.float32(1.0),
+            world_radius=jnp.float32(self.world_radius),
+            pp=PostProcessParams(exposure=jnp.float32(1.0),
+                                 tm_operator=jnp.int32(s.tonemap)))
+
+    # -- rendering -----------------------------------------------------------
+    def reset(self):
+        """Accumulation reset (wf_reset analogue)."""
+        n = self.config.num_pixels
+        self.film = Film.zeros(n)
+        self.seed = jnp.arange(n, dtype=jnp.uint32)
+        self.stats = RenderStats.zeros()
+
+    def render_single(self, spp: int, progress: bool = False):
+        """Exact-spp batch render (Tracer::renderSingle). RR is forced off,
+        like the reference (tracer.cpp:112-121)."""
+        cfg = self.config.replace(use_roulette=False)
+        for sample in range(spp):
+            self.film, self.seed, st = self._jit_sample(
+                self.device_scene, self.params, self.film, self.seed, cfg)
+            self.stats = self.stats + st
+            if progress and sample % 10 == 0:
+                print(f"\rRendered: {sample}/{spp}", end="", flush=True)
+        jax.block_until_ready(self.film.color.x)
+        if progress:
+            print(f"\rRendered: {spp}/{spp}")
+        return self.film
+
+    # -- output --------------------------------------------------------------
+    def ldr_image(self) -> np.ndarray:
+        """Postprocessed [H, W, 3] float in [0,1] (process kernel)."""
+        rgb = postprocess(self.film.color, self.film.weight,
+                          self.params.pp.exposure, self.params.pp.tm_operator)
+        arr = np.stack([np.asarray(rgb.x), np.asarray(rgb.y),
+                        np.asarray(rgb.z)], axis=-1)
+        return np.clip(arr.reshape(self.height, self.width, 3), 0.0, 1.0)
+
+    def hdr_image(self) -> np.ndarray:
+        w = np.maximum(np.asarray(self.film.weight), 1e-30)
+        arr = np.stack([np.asarray(self.film.color.x) / w,
+                        np.asarray(self.film.color.y) / w,
+                        np.asarray(self.film.color.z) / w], axis=-1)
+        return arr.reshape(self.height, self.width, 3)
+
+    def save_image(self, path: str):
+        if path.endswith(".hdr"):
+            save_hdr(path, self.hdr_image())
+        else:
+            save_png(path, self.ldr_image())
+
+    # -- perf (clcontext.cpp:666-674 definitions) ----------------------------
+    def perf_mrays(self, elapsed_s: float) -> dict:
+        st = self.stats
+        scale = 1e6 * max(elapsed_s, 1e-9)
+        prim = int(st.primary_rays) / scale
+        ext = int(st.extension_rays) / scale
+        shdw = int(st.shadow_rays) / scale
+        samp = int(st.samples) / scale
+        return dict(primary=prim, extension=ext, shadow=shdw, samples=samp,
+                    total=prim + ext + shdw)
