@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark driver — renders the flagship scene on the real TPU and prints
+one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol mirrors the reference's fixed benchmark (tracer.cpp:391-565):
+a real scene at high resolution, measured in Mrays/s
+(primary + extension + shadow rays per second, clcontext.cpp:666-674).
+Baseline target: 200 Mrays/s/chip (BASELINE.json).
+
+Scene: egyptcat (the only reference benchmark scene whose geometry ships in
+this image; conference/country_kitchen .obj files are absent) at 1920x1080
+with the night.hdr environment, GGX/glossy materials and textures.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_MRAYS = 200.0
+
+SCENE = "/root/reference/assets/egyptcat/egyptcat.obj"
+ENV = "/root/reference/assets/env_maps/night.hdr"
+
+
+def main():
+    import jax
+
+    from fluctus_tpu.renderer import Renderer
+    from fluctus_tpu.settings import Settings
+
+    s = Settings()
+    s.use_env_map = True
+    s.use_area_light = True
+    s.max_path_depth = 5
+    # egyptcat view (approximates the reference default camera)
+    s.camera.pos = (0.0, 1.0, 3.5)
+    s.camera.dir = (0.0, -0.2, -1.0)
+    s.camera.fov = 60.0
+    s.area_light.pos = (0.0, 4.0, 1.0)
+    s.area_light.N = (0.0, -1.0, 0.0)
+    s.area_light.E = (10.0, 10.0, 10.0)
+
+    width, height = 1920, 1080
+    r = Renderer(width, height, settings=s, data_dir="data")
+    r.load_scene(SCENE, env_map=ENV)
+
+    # warmup (compile)
+    r.render_single(spp=1)
+    r.reset()
+
+    spp = int(os.environ.get("BENCH_SPP", "8"))
+    t0 = time.time()
+    r.render_single(spp=spp)
+    elapsed = time.time() - t0
+
+    perf = r.perf_mrays(elapsed)
+    value = perf["total"]
+    print(json.dumps({
+        "metric": "Mrays/s/chip (traverse+shade), egyptcat 1080p",
+        "value": round(value, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(value / BASELINE_MRAYS, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
