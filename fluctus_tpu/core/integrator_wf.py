@@ -1,0 +1,374 @@
+"""Wavefront (throughput) integrator — the TPU-native re-design of the
+reference's Aila-style queue pipeline (wf_reset / wf_raygen / wf_logic /
+wf_mat_* / wf_extrays / wf_shadowrays, driven by Tracer::update,
+tracer.cpp:250-294).
+
+Design translation (SURVEY §7):
+  * The fixed-size path pool (NUM_TASKS paths in flight, decoupled from the
+    pixel count by the pixel-index ring, wf_raygen.cl:25 +
+    clcontext.cpp:917-927) is an SoA pytree of [num_tasks] arrays.
+  * Queues + atomic counters become boolean masks; queue *lengths* are mask
+    popcounts returned as outputs (the counter-readback analogue).
+  * The atomic float image splat (utils.cl:269-305) becomes a deterministic
+    ``segment_sum`` over pixel indices.
+  * Material binning (wf_logic.cl:337-342) is unnecessary: shading runs as a
+    masked superkernel over the lobes present in the scene.
+  * One call = one wavefront segment: logic -> regen -> material ->
+    extension -> shadow, all fused into a single jitted step.
+
+MIS weights, the light-pick probability split (env vs area,
+wf_logic.cl:249-251), RR placement (wf_logic.cl:62-74, with the T /=
+contProb compensation), the 0.995 shadow-ray shortening for area lights
+(wf_logic.cl:308) and the CHECK_SPP splat cap (wf_logic.cl:76-84,177-189)
+follow the reference. Like the reference's racy double-check, the spp cap
+can overshoot by the number of same-pixel terminations in one segment.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import bxdf_types as bx
+from ..bsdf import bxdf_eval, bxdf_pdf, bxdf_sample, resolve_material
+from ..envmap import env_map_pdf, eval_env_map_dir, sample_env_map_alias
+from ..geom import MIN_PATH_LENGTH, RenderConfig, RenderParams
+from ..rng import rand
+from ..sampling import pdf_area_to_solid_angle, sample_area_light
+from ..vec import Vec3, dot, is_zero, length, luminance, where as vwhere
+from .camera import generate_camera_rays
+from .integrator_mk import Film
+from .trace import (DeviceScene, tangent_space_normal, trace_extension,
+                    trace_shadow)
+
+
+class WfPool(NamedTuple):
+    """Path pool SoA — GPUTaskState (geom.h:222-259) as [num_tasks] arrays."""
+    orig: Vec3
+    dir: Vec3
+    shadow_orig: Vec3
+    shadow_dir: Vec3
+    T: Vec3
+    Ei: Vec3
+    last_bsdf: Vec3
+    last_emission: Vec3
+    last_T: Vec3
+    # hit record
+    hit_p: Vec3
+    hit_n: Vec3
+    hit_uvu: jnp.ndarray
+    hit_uvv: jnp.ndarray
+    hit_t: jnp.ndarray
+    hit_i: jnp.ndarray
+    hit_area_light: jnp.ndarray
+    hit_mat: jnp.ndarray
+    # path scalars
+    last_pdf_w: jnp.ndarray
+    path_len: jnp.ndarray
+    seed: jnp.ndarray
+    last_specular: jnp.ndarray
+    shadow_blocked: jnp.ndarray
+    backface: jnp.ndarray
+    pixel_index: jnp.ndarray
+    last_pdf_direct: jnp.ndarray
+    last_pdf_implicit: jnp.ndarray
+    last_cos_th: jnp.ndarray
+    last_light_pick: jnp.ndarray
+    shadow_len: jnp.ndarray
+
+
+class WfState(NamedTuple):
+    pool: WfPool
+    film: Film
+    spp: jnp.ndarray          # [num_pixels] int32 samples per pixel
+    curr_pixel: jnp.ndarray   # scalar int32 ring cursor
+
+
+class WfCounters(NamedTuple):
+    """Queue-length analogue (geom.h:263-277), one scalar per 'queue'."""
+    raygen: jnp.ndarray
+    extension: jnp.ndarray
+    shadow: jnp.ndarray
+    splatted: jnp.ndarray
+
+
+def wf_reset(config: RenderConfig, num_tasks: int, world_radius=1.0) -> WfState:
+    """wf_reset.cl: clear film, reset pool, seed = gid, all paths terminated
+    (hit_i = -1, len = 0 -> they regenerate on the first segment)."""
+    n = num_tasks
+    z = jnp.zeros(n, jnp.float32)
+    zi = jnp.zeros(n, jnp.int32)
+    pool = WfPool(
+        orig=Vec3(z, z, z), dir=Vec3(z, z, jnp.ones(n)),
+        shadow_orig=Vec3(z, z, z), shadow_dir=Vec3(z, z, jnp.ones(n)),
+        T=Vec3.ones(n), Ei=Vec3.zeros(n),
+        last_bsdf=Vec3.zeros(n), last_emission=Vec3.zeros(n),
+        last_T=Vec3.zeros(n),
+        hit_p=Vec3(z, z, z), hit_n=Vec3(z, z, jnp.ones(n)),
+        hit_uvu=z, hit_uvv=z,
+        hit_t=jnp.full(n, 3.4e38, jnp.float32),
+        hit_i=jnp.full(n, -1, jnp.int32),
+        hit_area_light=zi, hit_mat=jnp.full(n, -1, jnp.int32),
+        last_pdf_w=jnp.ones(n, jnp.float32),
+        path_len=zi,
+        seed=jnp.arange(n, dtype=jnp.uint32),
+        last_specular=jnp.ones(n, bool),
+        shadow_blocked=jnp.ones(n, bool),
+        backface=jnp.zeros(n, bool),
+        pixel_index=zi,
+        last_pdf_direct=z, last_pdf_implicit=z, last_cos_th=z,
+        last_light_pick=jnp.ones(n, jnp.float32),
+        shadow_len=jnp.full(n, 2.0 * world_radius, jnp.float32))
+    return WfState(pool=pool, film=Film.zeros(config.num_pixels),
+                   spp=jnp.zeros(config.num_pixels, jnp.int32),
+                   curr_pixel=jnp.zeros((), jnp.int32))
+
+
+def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
+               config: RenderConfig, first_iteration: bool = False):
+    """Advance the wavefront one segment. Returns (state, counters)."""
+    cfg = config
+    pool = state.pool
+    n = pool.seed.shape[0]
+    use_env = cfg.use_env_map and scene.env is not None
+    light = params.area_light if cfg.use_area_light else None
+    num_pixels = cfg.num_pixels
+
+    seed = pool.seed
+    T = pool.T
+    Ei = pool.Ei
+    plen = pool.path_len
+
+    # =====================================================================
+    # LOGIC (wf_logic.cl)
+    # =====================================================================
+    terminate = jnp.zeros(n, bool)
+    if cfg.max_bounces > 0:
+        terminate |= plen >= (cfg.max_bounces + 1)
+
+    if cfg.use_roulette:
+        u_rr, seed = rand(seed)
+        cp = jnp.clip(luminance(T), 0.01, 0.5)
+        rr = ~terminate & (plen > MIN_PATH_LENGTH)
+        terminate |= rr & (u_rr > cp)
+        T = vwhere(rr, T / cp, T)           # compensation (wf_logic.cl:72)
+
+    max_samples_reached = jnp.zeros(n, bool)
+    if cfg.max_spp > 0:
+        pix_spp = jnp.take(state.spp, pool.pixel_index)
+        max_samples_reached = pix_spp >= cfg.max_spp
+        terminate |= max_samples_reached
+
+    terminate |= is_zero(T) | (pool.last_pdf_w == 0.0)
+
+    # ---- implicit environment hit (wf_logic.cl:98-122) -------------------
+    miss = (pool.hit_i < 0) & ~terminate
+    if use_env:
+        first_or_impl = (plen == 1) | jnp.asarray(cfg.sample_impl)
+        bg = eval_env_map_dir(scene.env, pool.dir) * params.env_map_strength
+        bg = vwhere(first_or_impl, bg, Vec3.zeros(n))
+        w = jnp.ones(n, jnp.float32)
+        if cfg.sample_impl and cfg.sample_expl:
+            direct_pdf = env_map_pdf(scene.env, pool.dir)
+            actual = pool.last_pdf_w * pool.last_light_pick
+            w_mis = actual / jnp.maximum(actual + direct_pdf, 1e-30)
+            use_mis = (plen > 1) & ~pool.last_specular
+            w = jnp.where(use_mis, w_mis, w)
+        Ei = vwhere(miss, Ei + T * bg * w, Ei)
+    terminate |= miss
+
+    # ---- implicit area light hit (wf_logic.cl:124-147) --------------------
+    if light is not None:
+        al = (pool.hit_area_light > 0) & ~terminate
+        mis_w = jnp.ones(n, jnp.float32)
+        if cfg.sample_expl:
+            pdf_a = 1.0 / (4.0 * light.size_x * light.size_y)
+            dist = length(pool.hit_p - pool.orig)
+            pdf_w = pdf_area_to_solid_angle(pdf_a, dist,
+                                            -dot(pool.dir, pool.hit_n))
+            w_mis = pool.last_pdf_w / jnp.maximum(
+                pool.last_pdf_w + pdf_w * pool.last_light_pick, 1e-30)
+            use_mis = (plen > 1) & ~pool.last_specular
+            mis_w = jnp.where(use_mis, w_mis, mis_w)
+        Ei = vwhere(al, Ei + T * light.E * mis_w, Ei)
+        terminate |= al
+
+    # ---- NEE shadow-ray resolution (wf_logic.cl:149-168) ------------------
+    if cfg.sample_expl:
+        unblocked = ~pool.shadow_blocked
+        denom = (pool.last_light_pick * pool.last_pdf_direct
+                 + (1.0 if cfg.sample_impl else 0.0) * pool.last_pdf_implicit)
+        contrib = pool.last_bsdf * pool.last_T * pool.last_emission * (
+            pool.last_cos_th / jnp.maximum(denom, 1e-30))
+        Ei = vwhere(unblocked, Ei + contrib, Ei)
+
+    # ---- splat terminated paths (wf_logic.cl:171-205) ---------------------
+    splat = terminate & (plen > 0)
+    if cfg.max_spp > 0:
+        splat &= ~max_samples_reached
+    seg = jnp.where(splat, pool.pixel_index, num_pixels)  # overflow bucket
+    film = state.film
+    film = Film(
+        color=Vec3(
+            film.color.x + jax.ops.segment_sum(jnp.where(splat, Ei.x, 0.0), seg, num_segments=num_pixels + 1)[:num_pixels],
+            film.color.y + jax.ops.segment_sum(jnp.where(splat, Ei.y, 0.0), seg, num_segments=num_pixels + 1)[:num_pixels],
+            film.color.z + jax.ops.segment_sum(jnp.where(splat, Ei.z, 0.0), seg, num_segments=num_pixels + 1)[:num_pixels]),
+        weight=film.weight + jax.ops.segment_sum(
+            jnp.where(splat, 1.0, 0.0), seg, num_segments=num_pixels + 1)[:num_pixels])
+    spp_counts = state.spp
+    if cfg.max_spp > 0:
+        spp_counts = jnp.minimum(
+            spp_counts + jax.ops.segment_sum(
+                splat.astype(jnp.int32), seg,
+                num_segments=num_pixels + 1)[:num_pixels].astype(jnp.int32),
+            cfg.max_spp)
+
+    # =====================================================================
+    # Shading side (surviving paths): normal map + NEE generation + material
+    # =====================================================================
+    alive = ~terminate
+    sp = resolve_material(scene.mats, pool.hit_mat, pool.hit_uvu, pool.hit_uvv,
+                          scene.atlas)
+    from ..geom import Hit
+    hit = Hit(P=pool.hit_p, N=pool.hit_n, uv_u=pool.hit_uvu, uv_v=pool.hit_uvv,
+              t=pool.hit_t, i=pool.hit_i, area_light_hit=pool.hit_area_light,
+              mat_id=pool.hit_mat)
+    nrm = tangent_space_normal(hit, scene.tris, sp.map_N, scene.atlas)
+    backface = dot(nrm, pool.dir) > 0.0
+    nrm = vwhere(backface, -nrm, nrm)
+    nee_orig = pool.hit_p - pool.dir * 1e-3
+
+    singular = (sp.type & bx.BXDF_SINGULAR_MASK) != 0
+    shadow_pending = jnp.zeros(n, bool)
+    shadow_orig, shadow_dir = pool.shadow_orig, pool.shadow_dir
+    shadow_len = pool.shadow_len
+    l_pdf_direct, l_cos_th = pool.last_pdf_direct, pool.last_cos_th
+    l_pick, l_emission = pool.last_light_pick, pool.last_emission
+
+    if cfg.sample_expl:
+        do_nee = alive & ~singular
+        env_prob = (float(cfg.use_env_map) /
+                    max(1, int(cfg.use_env_map) + int(cfg.use_area_light)))
+        u_pick, seed = rand(seed)
+        pick_env = u_pick < env_prob
+        use_env_s = do_nee & pick_env
+        use_area_s = do_nee & ~pick_env & jnp.asarray(cfg.use_area_light)
+
+        if use_env:
+            u_env, seed = rand(seed)
+            L, direct_pdf = sample_env_map_alias(scene.env, u_env)
+            env_li = eval_env_map_dir(scene.env, L) * params.env_map_strength
+            len_l = jnp.broadcast_to(params.world_radius * 2.0, (n,))
+            cos_th = jnp.maximum(0.0, dot(L, nrm))
+            m = use_env_s
+            shadow_orig = vwhere(m, nee_orig, shadow_orig)
+            shadow_dir = vwhere(m, L, shadow_dir)
+            shadow_len = jnp.where(m, len_l, shadow_len)
+            l_pdf_direct = jnp.where(m, direct_pdf, l_pdf_direct)
+            l_cos_th = jnp.where(m, cos_th, l_cos_th)
+            l_pick = jnp.where(m, env_prob, l_pick)
+            l_emission = vwhere(m, env_li, l_emission)
+            shadow_pending |= m
+
+        if light is not None:
+            pdf_a, pos_l, seed = sample_area_light(light, seed)
+            Lv = pos_l - nee_orig
+            len0 = length(Lv)
+            inv_len = 1.0 / jnp.maximum(len0, 1e-30)
+            Ln = Lv * inv_len
+            cos_light = jnp.maximum(dot(light.N, -Lv), 0.0)  # unnormalized L
+            ok = use_area_s & (cos_light > 0.0)
+            len_l = len0 * 0.995                    # wf_logic.cl:308
+            direct_pdf = pdf_area_to_solid_angle(pdf_a, len_l,
+                                                 cos_light * inv_len)
+            cos_th = jnp.maximum(0.0, dot(Ln, nrm))
+            shadow_orig = vwhere(ok, nee_orig, shadow_orig)
+            shadow_dir = vwhere(ok, Ln, shadow_dir)
+            shadow_len = jnp.where(ok, len_l, shadow_len)
+            l_pdf_direct = jnp.where(ok, direct_pdf, l_pdf_direct)
+            l_cos_th = jnp.where(ok, cos_th, l_cos_th)
+            l_pick = jnp.where(ok, 1.0 - env_prob, l_pick)
+            l_emission = vwhere(ok, Vec3(
+                jnp.broadcast_to(light.E.x, (n,)),
+                jnp.broadcast_to(light.E.y, (n,)),
+                jnp.broadcast_to(light.E.z, (n,))), l_emission)
+            shadow_pending |= ok
+
+    # ---- material phase (wf_mat_*.cl) -------------------------------------
+    nee_bsdf = bxdf_eval(nrm, sp, backface, pool.dir, shadow_dir,
+                         cfg.material_types)
+    nee_pdf = jnp.maximum(0.0, bxdf_pdf(nrm, sp, backface, pool.dir,
+                                        shadow_dir, cfg.material_types))
+    d_new, pdf_w, f, seed = bxdf_sample(nrm, sp, backface, pool.dir, seed,
+                                        cfg.material_types)
+    bad = (pdf_w == 0.0) | is_zero(f)
+    new_T = vwhere(bad, Vec3.zeros(n),
+                   T * f * (dot(nrm, d_new) / jnp.where(bad, 1.0, pdf_w)))
+    cont_orig = pool.hit_p + d_new * 1e-4
+
+    # =====================================================================
+    # RAYGEN for terminated paths (wf_raygen.cl) — pixel ring
+    # =====================================================================
+    rank = jnp.cumsum(terminate.astype(jnp.int32)) - terminate.astype(jnp.int32)
+    n_regen = jnp.sum(terminate.astype(jnp.int32))
+    new_pixel = jnp.mod(state.curr_pixel + rank, num_pixels)
+    pixel_index = jnp.where(terminate, new_pixel, pool.pixel_index)
+    cam_orig, cam_dir, seed = generate_camera_rays(
+        pixel_index, params.camera, cfg.width, cfg.height,
+        params.world_radius, seed)
+
+    # merge: terminated -> fresh camera path; alive -> continuation
+    orig = vwhere(terminate, cam_orig, vwhere(alive, cont_orig, pool.orig))
+    direc = vwhere(terminate, cam_dir, vwhere(alive, d_new, pool.dir))
+    T_out = vwhere(terminate, Vec3.ones(n), new_T)
+    Ei_out = vwhere(terminate, Vec3.zeros(n), Ei)
+    plen_out = jnp.where(terminate, 0, plen)
+    last_pdf_w = jnp.where(terminate, 1.0, pdf_w)
+    last_specular = jnp.where(terminate, True, singular)
+    last_T = vwhere(terminate, Vec3.zeros(n), T)
+    shadow_pending &= ~terminate
+    l_pdf_direct = jnp.where(terminate, 0.0, l_pdf_direct)
+    l_pdf_implicit = jnp.where(terminate, 0.0, nee_pdf)
+    l_cos_th = jnp.where(terminate, 0.0, l_cos_th)
+    l_pick = jnp.where(terminate, 1.0, l_pick)
+    l_emission = vwhere(terminate, Vec3.zeros(n), l_emission)
+    nee_bsdf = vwhere(terminate, Vec3.zeros(n), nee_bsdf)
+
+    # =====================================================================
+    # EXTENSION + SHADOW traces (wf_extrays.cl / wf_shadowrays.cl)
+    # =====================================================================
+    hit = trace_extension(orig, direc, scene, light,
+                          jnp.asarray(cfg.sample_impl and cfg.use_area_light))
+    plen_out = plen_out + 1
+
+    occluded = trace_shadow(shadow_orig, shadow_dir, shadow_len, scene,
+                            light, jnp.asarray(cfg.use_area_light))
+    shadow_blocked = jnp.where(shadow_pending, occluded, True)
+
+    new_pool = WfPool(
+        orig=orig, dir=direc,
+        shadow_orig=shadow_orig, shadow_dir=shadow_dir,
+        T=T_out, Ei=Ei_out,
+        last_bsdf=nee_bsdf, last_emission=l_emission, last_T=last_T,
+        hit_p=hit.P, hit_n=hit.N, hit_uvu=hit.uv_u, hit_uvv=hit.uv_v,
+        hit_t=hit.t, hit_i=hit.i, hit_area_light=hit.area_light_hit,
+        hit_mat=hit.mat_id,
+        last_pdf_w=last_pdf_w, path_len=plen_out, seed=seed,
+        last_specular=last_specular, shadow_blocked=shadow_blocked,
+        backface=backface, pixel_index=pixel_index,
+        last_pdf_direct=l_pdf_direct, last_pdf_implicit=l_pdf_implicit,
+        last_cos_th=l_cos_th, last_light_pick=l_pick,
+        shadow_len=shadow_len)
+
+    counters = WfCounters(
+        raygen=n_regen,
+        extension=jnp.asarray(n, jnp.int32),
+        shadow=jnp.sum(shadow_pending.astype(jnp.int32)),
+        splatted=jnp.sum(splat.astype(jnp.int32)))
+
+    new_state = WfState(pool=new_pool, film=film, spp=spp_counts,
+                        curr_pixel=jnp.mod(state.curr_pixel + n_regen,
+                                           num_pixels))
+    return new_state, counters

@@ -1,0 +1,69 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fluctus_tpu.core.integrator_wf import wf_reset, wf_segment
+from fluctus_tpu.testing import quad_scene, quad_setup
+
+
+def run_wavefront(scene, params, config, num_tasks, segments):
+    state = wf_reset(config, num_tasks,
+                     world_radius=float(params.world_radius))
+    step = jax.jit(wf_segment, static_argnames=("config", "first_iteration"))
+    counters = []
+    for _ in range(segments):
+        state, cnt = step(scene, params, state, config)
+        counters.append(cnt)
+    return state, counters
+
+
+def test_wavefront_furnace_matches_mk():
+    """The wavefront integrator must converge to the same image as the
+    exact-spp integrator (the two reference integrators share semantics)."""
+    scene = quad_scene(kd=0.5)
+    params, config = quad_setup(width=16, height=16, max_bounces=3)
+    state, counters = run_wavefront(scene, params, config,
+                                    num_tasks=2048, segments=120)
+    w = np.asarray(state.film.weight)
+    assert w.min() > 0, "every pixel must receive samples via the ring"
+    img = np.asarray(state.film.color.x) / w
+    center = img.reshape(16, 16)[4:12, 4:12]
+    expect = 0.5 ** 2.2
+    assert abs(center.mean() - expect) / expect < 0.05, center.mean()
+
+
+def test_wavefront_counters():
+    scene = quad_scene(kd=0.5)
+    params, config = quad_setup(width=16, height=16, max_bounces=3)
+    state, counters = run_wavefront(scene, params, config,
+                                    num_tasks=512, segments=10)
+    # first segment: every path is fresh (len==0 -> regenerated)
+    assert int(counters[0].raygen) == 512
+    assert int(counters[0].extension) == 512
+    # later segments: paths terminate and regenerate (quad scene paths live
+    # 2 segments, so terminations come in waves)
+    assert sum(int(c.raygen) for c in counters[1:]) > 0
+    total_splat = sum(int(c.splatted) for c in counters)
+    assert total_splat == int(np.asarray(state.film.weight).sum())
+
+
+def test_wavefront_spp_cap():
+    scene = quad_scene(kd=0.5)
+    params, config = quad_setup(width=8, height=8, max_bounces=2)
+    config = config.replace(max_spp=4)
+    state, _ = run_wavefront(scene, params, config,
+                             num_tasks=256, segments=60)
+    spp = np.asarray(state.spp)
+    assert spp.max() <= 4
+    assert spp.min() >= 1
+
+
+def test_pixel_ring_coverage():
+    """num_tasks smaller than pixel count: the ring must still cover all
+    pixels across segments (wf_raygen.cl:25 decoupling)."""
+    scene = quad_scene(kd=0.5)
+    params, config = quad_setup(width=32, height=32, max_bounces=2)
+    state, _ = run_wavefront(scene, params, config,
+                             num_tasks=128, segments=80)
+    w = np.asarray(state.film.weight)
+    assert (w > 0).mean() > 0.99
