@@ -1,0 +1,162 @@
+"""Benchmark harness — port of Tracer::runBenchmark /
+runBenchmarkFromFile (tracer.cpp:391-873).
+
+``.bm.json`` schema (same as the reference): top-level ``settings`` object
+(any settings.json keys), ``scenes`` list (strings, or objects with
+``file`` + per-scene ``settings`` override), ``outputFolder``. Per scene the
+harness renders until maxRenderTime seconds or maxSpp samples, logs stats
+every 0.5 s into a CSV with the reference's exact schema
+``scene;time;primary;extension;shadow;total;samples`` (tracer.cpp:428), and
+writes <name>.png / <name>.hdr / <name>.csv / <name>.txt.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+from ..renderer import Renderer
+from ..settings import Settings
+
+FIXED_SCENES = [
+    "assets/egyptcat/egyptcat.obj",
+    "assets/conference/conference.obj",
+    "assets/country_kitchen/Country-Kitchen.obj",
+]
+
+
+class BenchmarkResult:
+    def __init__(self, scene, averages, csv_rows):
+        self.scene = scene
+        self.averages = averages  # dict: primary/extension/shadow/samples/total
+        self.csv_rows = csv_rows
+
+
+def _render_timed(renderer: Renderer, max_time: float, max_spp: int,
+                  scene_name: str, log_interval: float = 0.5):
+    """Render loop with periodic stat logging (tracer.cpp:676-691)."""
+    csv_rows = []
+    t_start = time.time()
+    t_last_log = t_start
+    last_stats = (0, 0, 0, 0)
+    spp = 0
+
+    def snapshot():
+        st = renderer.stats
+        return (int(st.primary_rays), int(st.extension_rays),
+                int(st.shadow_rays), int(st.samples))
+
+    while True:
+        now = time.time()
+        if max_time > 0 and now - t_start >= max_time:
+            break
+        if max_spp > 0 and spp >= max_spp:
+            break
+        renderer.render_single(spp=1)
+        spp += 1
+        now = time.time()
+        if now - t_last_log > log_interval:
+            cur = snapshot()
+            d = [c - l for c, l in zip(cur, last_stats)]
+            s = 1e6 * (now - t_last_log)
+            csv_rows.append((scene_name, now - t_start, d[0] / s, d[1] / s,
+                             d[2] / s, (d[0] + d[1] + d[2]) / s, d[3] / s))
+            last_stats = cur
+            t_last_log = now
+
+    elapsed = time.time() - t_start
+    tot = snapshot()
+    scale = 1e6 * max(elapsed, 1e-9)
+    averages = dict(
+        primary=tot[0] / scale, extension=tot[1] / scale,
+        shadow=tot[2] / scale, samples=tot[3] / scale,
+        total=(tot[0] + tot[1] + tot[2]) / scale, spp=spp,
+        elapsed=elapsed)
+    return averages, csv_rows
+
+
+def run_benchmark(scenes=None, width=1024, height=1024, seconds=30.0,
+                  settings: Optional[Settings] = None, asset_root="."):
+    """Fixed benchmark (tracer.cpp:391-565): 1024x1024, 30 s per scene."""
+    results = []
+    for scene_file in (scenes or FIXED_SCENES):
+        path = os.path.join(asset_root, scene_file)
+        if not os.path.exists(path):
+            print(f"skipping missing scene {path}")
+            continue
+        r = Renderer(width, height, settings=settings or Settings())
+        r.load_scene(path)
+        r.render_single(spp=1)  # warmup/compile
+        r.reset()
+        averages, rows = _render_timed(r, seconds, 0, scene_file)
+        print(f"{scene_file}: {averages['primary']:.1f}M primary, "
+              f"{averages['extension']:.2f}M extension, "
+              f"{averages['shadow']:.2f}M shadow, "
+              f"{averages['samples']:.2f}M samples, "
+              f"total: {averages['total']:.2f}M rays/s")
+        results.append(BenchmarkResult(scene_file, averages, rows))
+    return results
+
+
+def run_benchmark_file(path: str):
+    """Configurable benchmark from a .bm.json file (tracer.cpp:567-873)."""
+    base = os.path.dirname(os.path.abspath(path))
+    with open(path) as f:
+        spec = json.load(f)
+
+    out_folder = os.path.join(base, spec.get("outputFolder", "benchmark_out"))
+    os.makedirs(out_folder, exist_ok=True)
+
+    csv_lines = ["scene;time;primary;extension;shadow;total;samples"]
+    txt_lines = []
+    results = []
+
+    for entry in spec.get("scenes", []):
+        if isinstance(entry, str):
+            entry = {"file": entry}
+        s = Settings()
+        s.import_json(spec.get("settings", {}))
+        s.import_json(entry.get("settings", {}))
+
+        scene_path = entry["file"]
+        if not os.path.isabs(scene_path):
+            scene_path = os.path.join(base, scene_path)
+        if not os.path.exists(scene_path):
+            print(f"skipping missing scene {scene_path}")
+            continue
+        name = os.path.splitext(os.path.basename(scene_path))[0]
+
+        r = Renderer(s.window_width, s.window_height, settings=s)
+        env = s.env_map_name
+        if env and not os.path.isabs(env):
+            cand = os.path.join(base, env)
+            env = cand if os.path.exists(cand) else env
+        r.load_scene(scene_path, env_map=env if env and os.path.exists(env)
+                     else None)
+        r.render_single(spp=1)
+        r.reset()
+
+        averages, rows = _render_timed(r, s.max_render_time, s.max_spp, name)
+        for row in rows:
+            csv_lines.append(";".join(str(x) for x in row))
+        line = (f"{name}: {averages['primary']:.1f}M primary, "
+                f"{averages['extension']:.2f}M extension, "
+                f"{averages['shadow']:.2f}M shadow, "
+                f"{averages['samples']:.2f}M samples, "
+                f"total: {averages['total']:.2f}M rays/s "
+                f"({averages['spp']} spp in {averages['elapsed']:.1f}s)")
+        print(line)
+        txt_lines.append(line)
+
+        if not spec.get("skipPP", False):
+            r.save_image(os.path.join(out_folder, name + ".png"))
+        r.save_image(os.path.join(out_folder, name + ".hdr"))
+        results.append(BenchmarkResult(name, averages, rows))
+
+    with open(os.path.join(out_folder, "results.csv"), "w") as f:
+        f.write("\n".join(csv_lines) + "\n")
+    with open(os.path.join(out_folder, "results.txt"), "w") as f:
+        f.write("\n".join(txt_lines) + "\n")
+    return results
