@@ -28,6 +28,9 @@ ENV = "/root/reference/assets/env_maps/night.hdr"
 def main():
     import jax
 
+    from fluctus_tpu import compile_cache
+    compile_cache.enable()
+
     from fluctus_tpu.renderer import Renderer
     from fluctus_tpu.settings import Settings
 

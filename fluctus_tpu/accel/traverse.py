@@ -203,10 +203,11 @@ def _traverse(orig: Vec3, d: Vec3, tris: TrianglesDevice, bvh: BVHDevice,
         sl_lo, sl_hi = _shl(nl_lo, s["l_hi"])
         sr_lo, sr_hi = _shl(nr_lo, s["r_hi"])
 
-        # ---- leaf: unrolled masked triangle tests (bvh.cl:253-279) --------
-        t_best, tri_best, u_best, v_best = s["t"], s["tri"], s["u"], s["v"]
-        occluded = jnp.zeros(n, bool)
-        for j in range(bvh.max_leaf):
+        # ---- leaf: masked triangle tests (bvh.cl:253-279), rolled as a
+        # fori_loop so the compiled body holds ONE triangle test (an 8-way
+        # unroll multiplied compile time ~20x on the TPU toolchain) --------
+        def leaf_body(j, carry):
+            t_best, tri_best, u_best, v_best, occluded = carry
             lane = is_leaf & (j < nprims)
             slot = jnp.clip(ros + j, 0, n_idx - 1)
             tidx = jnp.take(bvh.indices, slot)
@@ -214,14 +215,19 @@ def _traverse(orig: Vec3, d: Vec3, tris: TrianglesDevice, bvh: BVHDevice,
                 orig, d,
                 vgather(tris.v0, tidx), vgather(tris.e1, tidx),
                 vgather(tris.e2, tidx))
+            closer = lane & ok & (t > 0.0) & (t < t_best)
             if any_hit:
-                occluded |= lane & ok & (t > 0.0) & (t < t_best)
+                occluded = occluded | closer
             else:
-                closer = lane & ok & (t > 0.0) & (t < t_best)
                 t_best = jnp.where(closer, t, t_best)
                 tri_best = jnp.where(closer, tidx, tri_best)
                 u_best = jnp.where(closer, uu, u_best)
                 v_best = jnp.where(closer, vv, v_best)
+            return (t_best, tri_best, u_best, v_best, occluded)
+
+        t_best, tri_best, u_best, v_best, occluded = jax.lax.fori_loop(
+            0, bvh.max_leaf, leaf_body,
+            (s["t"], s["tri"], s["u"], s["v"], jnp.zeros(n, bool)))
 
         # ---- backtrack one level (bvh.cl:94-125) ---------------------------
         l_bit = (s["l_lo"] & 1) != 0
