@@ -1,0 +1,93 @@
+"""MXU tracer tests run in Pallas interpret mode on CPU and compare against
+the bitstack traversal / brute force."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fluctus_tpu.accel import build_bvh
+from fluctus_tpu.accel.mxu_trace import (MXUScene, any_hit_mxu,
+                                         closest_hit_mxu)
+from fluctus_tpu.accel.traverse import (BVHDevice, TrianglesDevice,
+                                        brute_force_closest)
+from fluctus_tpu.scene import Scene
+from fluctus_tpu.vec import Vec3
+
+
+@pytest.fixture(scope="module")
+def teapot():
+    s = Scene()
+    s.load_model("/root/reference/assets/teapot.ply")
+    p, n, t, m = s.triangle_arrays()
+    bvh = build_bvh(p)
+    mxu = MXUScene.build(p, bvh, cluster_size=256)
+    tris = TrianglesDevice.from_arrays(p, n, t, m)
+    return p, mxu, tris
+
+
+def _rays(p, count, seed=0):
+    rng = np.random.default_rng(seed)
+    lo, hi = p.reshape(-1, 3).min(0), p.reshape(-1, 3).max(0)
+    c = (lo + hi) / 2
+    r = np.linalg.norm(hi - lo)
+    o = c + rng.standard_normal((count, 3)) * r
+    tg = lo + rng.random((count, 3)) * (hi - lo)
+    d = tg - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return (Vec3(*[jnp.asarray(o[:, i], jnp.float32) for i in range(3)]),
+            Vec3(*[jnp.asarray(d[:, i], jnp.float32) for i in range(3)]))
+
+
+def test_cluster_structure(teapot):
+    p, mxu, _ = teapot
+    # every triangle appears at least once in the map
+    ids = np.asarray(mxu.tri_map)
+    present = np.unique(ids[ids >= 0])
+    assert len(present) == p.shape[0]
+    assert mxu.n_clusters * mxu.cluster_size == len(ids)
+
+
+def test_closest_matches_brute_force(teapot):
+    p, mxu, tris = teapot
+    o, d = _rays(p, 512)
+    t_m, tri_m, u_m, v_m = closest_hit_mxu(o, d, mxu, ray_tile=256,
+                                           interpret=True)
+    t_b, tri_b, u_b, v_b = brute_force_closest(o, d, tris)
+    hit_m = np.asarray(tri_m) >= 0
+    hit_b = np.asarray(tri_b) >= 0
+    assert (hit_m == hit_b).mean() > 0.998  # epsilon-edge cases only
+    both = hit_m & hit_b
+    np.testing.assert_allclose(np.asarray(t_m)[both], np.asarray(t_b)[both],
+                               rtol=1e-4)
+    same_tri = (np.asarray(tri_m)[both] == np.asarray(tri_b)[both])
+    assert same_tri.mean() > 0.99
+    # barycentrics agree where the same triangle was chosen
+    sel = both.copy()
+    sel[both] &= same_tri
+    np.testing.assert_allclose(np.asarray(u_m)[sel], np.asarray(u_b)[sel],
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(v_m)[sel], np.asarray(v_b)[sel],
+                               atol=1e-3)
+
+
+def test_any_hit(teapot):
+    p, mxu, tris = teapot
+    o, d = _rays(p, 512, seed=1)
+    t_b, tri_b, _, _ = brute_force_closest(o, d, tris)
+    occ = np.asarray(any_hit_mxu(o, d, jnp.float32(1e30), mxu, ray_tile=256,
+                                 interpret=True))
+    hit = np.asarray(tri_b) >= 0
+    assert (occ == hit).mean() > 0.998
+    # with max dist below the hit -> unoccluded
+    occ2 = np.asarray(any_hit_mxu(o, d, np.asarray(t_b) * 0.5, mxu,
+                                  ray_tile=256, interpret=True))
+    assert not occ2[hit].any()
+
+
+def test_t_max_limits_closest(teapot):
+    p, mxu, tris = teapot
+    o, d = _rays(p, 256, seed=2)
+    t_b, tri_b, _, _ = brute_force_closest(o, d, tris)
+    t_m, tri_m, _, _ = closest_hit_mxu(o, d, mxu, t_max=np.asarray(t_b) * 0.5,
+                                       ray_tile=256, interpret=True)
+    assert not (np.asarray(tri_m)[np.asarray(tri_b) >= 0] >= 0).any()
