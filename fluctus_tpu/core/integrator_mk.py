@@ -219,7 +219,14 @@ def render_sample(scene: DeviceScene, params: RenderParams, film: Film,
             ext_count=s_ext,
         )
 
-    out = jax.lax.fori_loop(0, cfg.max_bounces + 1, bounce, state)
+    if cfg.unroll_bounces:
+        # Python-level unroll: keeps every gather in straightline XLA, which
+        # is mandatory for TPU throughput (in-loop gathers serialize).
+        out = state
+        for b in range(cfg.max_bounces + 1):
+            out = bounce(b, out)
+    else:
+        out = jax.lax.fori_loop(0, cfg.max_bounces + 1, bounce, state)
 
     # ---- splat (mk_splat.cl:35-47): every path adds its Ei ----------------
     film = Film(color=film.color + out["Ei"], weight=film.weight + 1.0)

@@ -36,6 +36,9 @@ class DeviceScene:
     env: Optional[object]   # EnvMapTables or None
     # static: OR of BXDF type bits present (getBxdfDefines analogue)
     material_types: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # optional MXU (Pallas matmul) tracer tables; when present they are the
+    # preferred traversal backend (see accel/mxu_trace.py)
+    mxu: Optional[object] = None
 
 
 def intersect_area_light(orig: Vec3, d: Vec3, light: AreaLight, t_prev):
@@ -71,12 +74,21 @@ def reconstruct_hit(orig: Vec3, d: Vec3, t, tri_idx, u, v,
                mat_id=mat_id)
 
 
+def _interpret_pallas() -> bool:
+    return jax.default_backend() != "tpu"
+
+
 def trace_extension(orig: Vec3, d: Vec3, scene: DeviceScene,
                     area_light: Optional[AreaLight],
                     check_area_light) -> Hit:
     """Closest hit + optional implicit area-light quad (wf_extrays.cl:26-29).
     check_area_light: traced bool (sampleImpl && useAreaLight)."""
-    t, tri, u, v = closest_hit(orig, d, scene.tris, scene.bvh)
+    if scene.mxu is not None:
+        from ..accel.mxu_trace import closest_hit_mxu
+        t, tri, u, v = closest_hit_mxu(orig, d, scene.mxu,
+                                       interpret=_interpret_pallas())
+    else:
+        t, tri, u, v = closest_hit(orig, d, scene.tris, scene.bvh)
     hit = reconstruct_hit(orig, d, t, tri, u, v, scene.tris)
     if area_light is not None:
         l_hit, l_t = intersect_area_light(orig, d, area_light, hit.t)
@@ -98,7 +110,12 @@ def trace_extension(orig: Vec3, d: Vec3, scene: DeviceScene,
 def trace_shadow(orig: Vec3, d: Vec3, max_len, scene: DeviceScene,
                  area_light: Optional[AreaLight], check_area_light):
     """Occlusion query incl. the area light body (wf_shadowrays.cl:27-33)."""
-    occ = any_hit(orig, d, max_len, scene.tris, scene.bvh)
+    if scene.mxu is not None:
+        from ..accel.mxu_trace import any_hit_mxu
+        occ = any_hit_mxu(orig, d, max_len, scene.mxu,
+                          interpret=_interpret_pallas())
+    else:
+        occ = any_hit(orig, d, max_len, scene.tris, scene.bvh)
     if area_light is not None:
         l_hit, _ = intersect_area_light(orig, d, area_light, max_len)
         occ |= l_hit & check_area_light

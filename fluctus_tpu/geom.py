@@ -97,7 +97,10 @@ class RenderConfig:
     use_roulette: bool = False
     max_spp: int = 0                # 0 = unbounded (CHECK_SPP off)
     material_types: int = 0         # OR of BXDF type bits present in scene
-    backend: str = "jax"            # traversal backend: "jax" | "pallas"
+    backend: str = "jax"            # traversal backend: "jax" | "mxu"
+    # Unroll the bounce loop at trace time. Required on TPU: gathers inside
+    # lax loops serialize (~200x slower); straightline gathers vectorize.
+    unroll_bounces: bool = False
 
     @property
     def num_pixels(self) -> int:

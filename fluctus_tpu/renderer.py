@@ -62,13 +62,23 @@ class Renderer:
         bvh = self._init_hierarchy(scene)
         self.world_radius = scene.world_radius()
 
+        # Backend: the MXU (Pallas matmul) tracer is the production path on
+        # TPU; the pure-JAX bitstack traversal serves CPU tests.
+        on_tpu = jax.default_backend() == "tpu"
+        mxu = None
+        if on_tpu:
+            from .accel.mxu_trace import MXUScene
+            p, _, _, _ = scene.triangle_arrays()
+            mxu = MXUScene.build(p, bvh)
+
         self.device_scene = DeviceScene(
             tris=TrianglesDevice.from_arrays(*scene.triangle_arrays()),
             bvh=BVHDevice.from_host(bvh),
             mats=scene.device_materials(),
             atlas=scene.device_textures(),
             env=scene.envmap.device_tables() if scene.envmap else None,
-            material_types=scene.material_types)
+            material_types=scene.material_types,
+            mxu=mxu)
 
         self.config = RenderConfig(
             width=self.width, height=self.height,
@@ -79,7 +89,9 @@ class Renderer:
             sample_expl=s.sample_explicit,
             use_roulette=s.use_russian_roulette,
             max_spp=s.max_spp,
-            material_types=scene.material_types)
+            material_types=scene.material_types,
+            backend="mxu" if on_tpu else "jax",
+            unroll_bounces=on_tpu)
         self.params = self._make_params()
         self.reset()
 
