@@ -184,10 +184,10 @@ def _trace_kernel(o_ref, d_ref, tm_ref, tx_ref, ty_ref, tz_ref, box_ref,
     t_best = t_ref[:]                # [rt, 1]
 
     # ---- cluster AABB cull: slab test for the whole tile ------------------
-    box = box_ref[:]                 # [1, 8]
+    box = box_ref[j, :]              # row j of the full [n_clusters, 8] array
     inv = 1.0 / jnp.where(D[:, 0:3] == 0.0, 1e-30, D[:, 0:3])
-    t1 = (box[0, 0:3] - O[:, 0:3]) * inv
-    t2 = (box[0, 3:6] - O[:, 0:3]) * inv
+    t1 = (box[0:3] - O[:, 0:3]) * inv
+    t2 = (box[3:6] - O[:, 0:3]) * inv
     tmin_v = jnp.minimum(t1, t2)
     tmax_v = jnp.maximum(t1, t2)
     tnear = jnp.max(tmin_v, axis=1, keepdims=True)
@@ -261,7 +261,8 @@ def _trace(o4, d4, tmax_col, scene_arrays, scene_static, any_hit, ray_tile,
             pl.BlockSpec((4, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            # whole cluster-box table in VMEM (tiny); indexed by program_id
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((rt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),

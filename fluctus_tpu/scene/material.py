@@ -86,10 +86,15 @@ def infer_type(m: HostMaterial, shader_set_ok: bool) -> int:
 
 
 def materials_to_soa(materials: List[HostMaterial]):
-    """Host material list -> device MaterialsSoA."""
+    """Host material list -> device MaterialsSoA. Tables are padded to at
+    least 128 rows: gathers from degenerate tiny tables destabilize the TPU
+    runtime (see scene/texture.py)."""
     import jax.numpy as jnp
     from ..geom import MaterialsSoA
     from ..vec import Vec3
+
+    pad = max(0, 128 - len(materials))
+    materials = materials + [materials[0]] * pad
 
     def vcol(attr):
         a = np.array([getattr(m, attr) for m in materials], np.float32)

@@ -25,20 +25,39 @@ class HostTexture:
         self.height, self.width = rgba.shape[:2]
 
 
-class TextureAtlas(NamedTuple):
-    """Device-side atlas: packed 0xAABBGGRR uint32 texels + descriptors."""
-    texels: "np.ndarray"       # jnp uint32 [total]
-    offset: "np.ndarray"       # jnp int32 [n]
-    width: "np.ndarray"        # jnp int32 [n]
-    height: "np.ndarray"       # jnp int32 [n]
+import dataclasses
+
+import jax
 
 
-def pack_atlas(textures: List[HostTexture]) -> Optional[TextureAtlas]:
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TextureAtlas:
+    """Device-side atlas: packed 0xAABBGGRR uint32 texels + descriptors.
+
+    ``count`` is static: a scene without textures statically prunes every
+    texture-fetch path at trace time — the analogue of the reference
+    compiling material kernels without texture code. (Gathers from
+    degenerate 1-element dummy tables also destabilize the TPU runtime, so
+    descriptor tables are padded to >= 128 rows.)"""
+    texels: "jax.Array"       # uint32 [total]
+    offset: "jax.Array"       # int32 [n_pad]
+    width: "jax.Array"        # int32 [n_pad]
+    height: "jax.Array"       # int32 [n_pad]
+    count: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+
+_MIN_ROWS = 128
+
+
+def pack_atlas(textures: List[HostTexture]) -> TextureAtlas:
     import jax.numpy as jnp
+    n_pad = max(_MIN_ROWS, len(textures))
     if not textures:
-        # 1-texel dummy so downstream gathers always have a valid operand
-        return TextureAtlas(jnp.zeros(1, jnp.uint32), jnp.zeros(1, jnp.int32),
-                            jnp.ones(1, jnp.int32), jnp.ones(1, jnp.int32))
+        return TextureAtlas(jnp.zeros(_MIN_ROWS, jnp.uint32),
+                            jnp.zeros(n_pad, jnp.int32),
+                            jnp.ones(n_pad, jnp.int32),
+                            jnp.ones(n_pad, jnp.int32), count=0)
     offsets, ws, hs, chunks = [], [], [], []
     total = 0
     for t in textures:
@@ -50,8 +69,13 @@ def pack_atlas(textures: List[HostTexture]) -> Optional[TextureAtlas]:
                   | (rgba[..., 3] << 24)).reshape(-1)
         chunks.append(packed)
         total += packed.size
+    pad = n_pad - len(textures)
+    offsets += [0] * pad
+    ws += [1] * pad
+    hs += [1] * pad
     return TextureAtlas(
         texels=jnp.asarray(np.concatenate(chunks)),
         offset=jnp.asarray(np.array(offsets, np.int32)),
         width=jnp.asarray(np.array(ws, np.int32)),
-        height=jnp.asarray(np.array(hs, np.int32)))
+        height=jnp.asarray(np.array(hs, np.int32)),
+        count=len(textures))

@@ -39,7 +39,10 @@ def fetch_texture(atlas: TextureAtlas, tex_idx, u, v) -> Vec3:
 
 
 def mat_get_float3(fallback: Vec3, u, v, tex_idx, atlas: TextureAtlas) -> Vec3:
-    """utils.cl:168-171 — texture if bound, else constant. No gamma."""
+    """utils.cl:168-171 — texture if bound, else constant. No gamma.
+    Statically pruned when the scene has no textures."""
+    if atlas.count == 0:
+        return fallback
     tex = fetch_texture(atlas, tex_idx, u, v)
     return vwhere(tex_idx >= 0, tex, fallback)
 

@@ -81,7 +81,8 @@ def test_device_upload(assets):
     s = Scene()
     s.load_model(os.path.join(assets, "egyptcat/egyptcat.obj"))
     mats = s.device_materials()
-    assert mats.type.shape[0] == len(s.materials)
+    assert mats.type.shape[0] == max(128, len(s.materials))  # padded tables
     atlas = s.device_textures()
+    assert atlas.count == len(s.textures)
     assert int(atlas.texels.shape[0]) >= int(atlas.width[0]) * int(atlas.height[0])
     assert s.world_radius() > 0.0
