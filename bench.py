@@ -50,17 +50,30 @@ def main():
     r = Renderer(width, height, settings=s, data_dir="data")
     r.load_scene(SCENE, env_map=ENV)
 
-    # warmup (compile)
-    r.render_single(spp=1)
-    r.reset()
-
-    spp = int(os.environ.get("BENCH_SPP", "8"))
-    t0 = time.time()
-    r.render_single(spp=spp)
-    elapsed = time.time() - t0
-
-    perf = r.perf_mrays(elapsed)
-    value = perf["total"]
+    mode = os.environ.get("BENCH_MODE", "wf")
+    if mode == "wf":
+        # throughput-tuned wavefront mode (the reference's headline path)
+        num_tasks = int(os.environ.get("BENCH_TASKS", str(1 << 20)))
+        segments = int(os.environ.get("BENCH_SEGMENTS", "64"))
+        r.init_wavefront(num_tasks)
+        r.render_wavefront(2)          # warmup/compile
+        r.init_wavefront(num_tasks)
+        t0 = time.time()
+        r.render_wavefront(segments)
+        elapsed = time.time() - t0
+        st = r.wavefront_stats()
+        scale = 1e6 * elapsed
+        value = (int(st.primary_rays) + int(st.extension_rays)
+                 + int(st.shadow_rays)) / scale
+    else:
+        r.render_single(spp=1)         # warmup (compile)
+        r.reset()
+        spp = int(os.environ.get("BENCH_SPP", "8"))
+        t0 = time.time()
+        r.render_single(spp=spp)
+        elapsed = time.time() - t0
+        perf = r.perf_mrays(elapsed)
+        value = perf["total"]
     print(json.dumps({
         "metric": "Mrays/s/chip (traverse+shade), egyptcat 1080p",
         "value": round(value, 2),

@@ -153,6 +153,44 @@ class Renderer:
             print(f"\rRendered: {spp}/{spp}")
         return self.film
 
+    # -- wavefront (throughput) mode ------------------------------------------
+    def init_wavefront(self, num_tasks: Optional[int] = None):
+        """Reset the persistent path pool (wf_reset analogue)."""
+        from .core.integrator_wf import wf_reset, wf_segment
+        self.num_tasks = num_tasks or self.settings.wf_buffer_size
+        self._wf_state = wf_reset(self.config, self.num_tasks,
+                                  world_radius=self.world_radius)
+        self._wf_step = jax.jit(wf_segment,
+                                static_argnames=("config", "first_iteration"))
+        self._wf_counters = []
+
+    def render_wavefront(self, segments: int, sync: bool = True):
+        """Advance the wavefront `segments` steps (Tracer::update loop body,
+        tracer.cpp:269-283). Dispatch is asynchronous: the host runs ahead
+        and only synchronizes at the end (the reference's finishQueue)."""
+        for _ in range(segments):
+            self._wf_state, cnt = self._wf_step(
+                self.device_scene, self.params, self._wf_state, self.config)
+            self._wf_counters.append(cnt)
+        if sync:
+            jax.block_until_ready(self._wf_state.film.color.x)
+        return self._wf_state
+
+    def wavefront_stats(self) -> RenderStats:
+        """Queue-counter-derived stats (tracer.cpp:361-368)."""
+        prim = ext = shdw = samp = 0
+        for i, c in enumerate(self._wf_counters):
+            prim += int(c.raygen)
+            ext += int(c.extension)
+            shdw += int(c.shadow)
+            if i > 0:
+                samp += int(c.splatted)
+        return RenderStats(jnp.int32(prim), jnp.int32(ext), jnp.int32(shdw),
+                           jnp.int32(samp))
+
+    def wavefront_film(self):
+        return self._wf_state.film
+
     # -- output --------------------------------------------------------------
     def ldr_image(self) -> np.ndarray:
         """Postprocessed [H, W, 3] float in [0,1] (process kernel)."""
