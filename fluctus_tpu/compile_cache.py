@@ -16,8 +16,11 @@ def enable(cache_dir: str = "data/kernel_binaries"):
     if _enabled:
         return
     import jax
+    from jax.experimental.compilation_cache import compilation_cache as cc
     os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache_dir))
+    # NB: the config/env path does not initialize the cache under the axon
+    # PJRT plugin; the explicit API does.
+    cc.set_cache_dir(os.path.abspath(cache_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     _enabled = True

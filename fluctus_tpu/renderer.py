@@ -33,6 +33,9 @@ class Renderer:
     def __init__(self, width: int, height: int,
                  settings: Optional[Settings] = None,
                  data_dir: str = "data"):
+        if jax.default_backend() == "tpu":
+            from . import compile_cache
+            compile_cache.enable(os.path.join(data_dir, "kernel_binaries"))
         self.settings = settings or Settings()
         s = self.settings
         self.data_dir = data_dir
