@@ -1,0 +1,92 @@
+"""CLI entry — the reference's main.cpp equivalent (headless).
+
+    python -m fluctus_tpu [scene files...] [options]
+
+Options mirror src/main.cpp:24-46: -x/-y render size, -s spp (batch render),
+plus --benchmark (fixed protocol, tracer.cpp:391) and .bm.json inputs
+(benchmark-from-file, tracer.cpp:567). Interactive GL preview does not exist
+on a headless TPU host; progressive wavefront rendering with periodic PNG
+dumps (--wavefront) stands in for it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="fluctus_tpu")
+    ap.add_argument("scenes", nargs="*", help=".obj/.ply/.sc.json scene files "
+                    "or .bm.json benchmark files")
+    ap.add_argument("-x", "--width", type=int, default=1024)
+    ap.add_argument("-y", "--height", type=int, default=768)
+    ap.add_argument("-s", "--spp", type=int, default=0,
+                    help="render N spp in batch (exact-spp) mode and exit")
+    ap.add_argument("--wavefront", type=int, default=0, metavar="SEGMENTS",
+                    help="run N wavefront segments (throughput mode)")
+    ap.add_argument("--tasks", type=int, default=1 << 20,
+                    help="wavefront path pool size (wfBufferSize)")
+    ap.add_argument("--env", default=None, help="environment map (.hdr)")
+    ap.add_argument("--settings", default="settings.json")
+    ap.add_argument("--benchmark", action="store_true",
+                    help="run the fixed benchmark protocol")
+    ap.add_argument("-o", "--output", default=None, help="output image path")
+    args = ap.parse_args(argv)
+
+    from .settings import Settings
+    settings = Settings.load(args.settings)
+
+    if args.benchmark:
+        from .bench import run_benchmark
+        run_benchmark(settings=settings)
+        return 0
+
+    scenes = args.scenes or ([settings.shortcuts[min(settings.shortcuts)]]
+                             if settings.shortcuts else [])
+    if not scenes:
+        ap.print_help()
+        return 1
+
+    for scene_file in scenes:
+        if scene_file.endswith(".bm.json"):
+            from .bench import run_benchmark_file
+            run_benchmark_file(scene_file)
+            continue
+
+        from .renderer import Renderer
+        r = Renderer(args.width, args.height, settings=settings)
+        r.load_scene(scene_file, env_map=args.env)
+        base = os.path.splitext(os.path.basename(scene_file))[0]
+        out = args.output or f"output_{base}.png"
+
+        if args.wavefront > 0:
+            r.init_wavefront(args.tasks)
+            t0 = time.time()
+            r.render_wavefront(args.wavefront)
+            dt = time.time() - t0
+            st = r.wavefront_stats()
+            total = (int(st.primary_rays) + int(st.extension_rays)
+                     + int(st.shadow_rays)) / (1e6 * dt)
+            print(f"{scene_file}: {args.wavefront} segments in {dt:.2f}s "
+                  f"-> {total:.1f} MRays/s")
+            r.film = r.wavefront_film()
+        else:
+            spp = args.spp or 16
+            t0 = time.time()
+            r.render_single(spp, progress=True)
+            dt = time.time() - t0
+            perf = r.perf_mrays(dt)
+            print(f"{scene_file}: {spp} spp in {dt:.2f}s "
+                  f"-> {perf['total']:.1f} MRays/s")
+
+        r.save_image(out)
+        r.save_image(os.path.splitext(out)[0] + ".hdr")
+        print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
