@@ -216,6 +216,34 @@ class Renderer:
         else:
             save_png(path, self.ldr_image())
 
+    # -- picking (kernel_pick.cl / Tracer::pickDofDepth) ----------------------
+    def pick_single(self, ndc_x: float, ndc_y: float):
+        """Cast one camera ray through NDC coords; returns (hit, t, tri).
+        Mirrors CLContext::pickSingle (clcontext.cpp:934-949)."""
+        from .core.camera import generate_camera_rays
+        from .core.trace import trace_extension
+        import jax.numpy as jnp
+        px = int(min(max(ndc_x, 0.0), 1.0) * (self.width - 1))
+        py = int(min(max(ndc_y, 0.0), 1.0) * (self.height - 1))
+        pixel = jnp.asarray([py * self.width + px], jnp.int32)
+        # center-of-pixel ray: zero jitter via fixed seed draw is fine here
+        orig, d, _ = generate_camera_rays(
+            pixel, self.params.camera, self.width, self.height,
+            self.params.world_radius, jnp.zeros(1, jnp.uint32))
+        hit = trace_extension(orig, d, self.device_scene, None,
+                              jnp.asarray(False))
+        t = float(hit.t[0])
+        tri = int(hit.i[0])
+        return tri >= 0, t, tri
+
+    def pick_dof_depth(self, ndc_x: float, ndc_y: float) -> bool:
+        """Set focal distance from a scene pick (tracer.cpp:1073-1085)."""
+        ok, t, _ = self.pick_single(ndc_x, ndc_y)
+        if ok:
+            self.settings.camera.focal_dist = t
+            self.params = self._make_params()
+        return ok
+
     # -- perf (clcontext.cpp:666-674 definitions) ----------------------------
     def perf_mrays(self, elapsed_s: float) -> dict:
         st = self.stats
