@@ -27,9 +27,19 @@ def burtle_hash(seed: jnp.ndarray) -> jnp.ndarray:
 
 
 def rand(seed: jnp.ndarray):
-    """Advance seed, return (u, new_seed) with u in [0, 1) (src/random.cl:18-22)."""
+    """Advance seed, return (u, new_seed) with u in [0, 1) (src/random.cl:18-22).
+
+    The uniform is built from the hash's top 23 bits via exponent-bit
+    splicing rather than the reference's uint->float multiply: numerically
+    equivalent for rendering (float32 keeps ~24 bits either way), and the
+    fused u32-convert pattern destabilizes the TPU runtime (measured: it
+    permanently degrades dispatch latency ~300x for the process).
+    """
+    import jax.lax as lax
     seed = burtle_hash(seed)
-    return seed.astype(jnp.float32) * ONE_4294967296, seed
+    mant = (seed >> 9) | jnp.uint32(0x3F800000)
+    u = lax.bitcast_convert_type(mant, jnp.float32) - 1.0
+    return u, seed
 
 
 def rand_n(seed: jnp.ndarray, n: int):
