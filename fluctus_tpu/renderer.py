@@ -163,8 +163,11 @@ class Renderer:
         self.num_tasks = num_tasks or self.settings.wf_buffer_size
         self._wf_state = wf_reset(self.config, self.num_tasks,
                                   world_radius=self.world_radius)
-        self._wf_step = jax.jit(wf_segment,
-                                static_argnames=("config", "first_iteration"))
+        if not hasattr(self, "_wf_step"):
+            # one jit wrapper for the lifetime of the renderer — a fresh
+            # wrapper would re-trace and recompile (minutes on this toolchain)
+            self._wf_step = jax.jit(
+                wf_segment, static_argnames=("config", "first_iteration"))
         self._wf_counters = []
 
     def render_wavefront(self, segments: int, sync: bool = True):
@@ -180,9 +183,11 @@ class Renderer:
         return self._wf_state
 
     def wavefront_stats(self) -> RenderStats:
-        """Queue-counter-derived stats (tracer.cpp:361-368)."""
+        """Queue-counter-derived stats (tracer.cpp:361-368). One batched
+        device_get instead of per-counter syncs."""
+        host = jax.device_get(self._wf_counters)
         prim = ext = shdw = samp = 0
-        for i, c in enumerate(self._wf_counters):
+        for i, c in enumerate(host):
             prim += int(c.raygen)
             ext += int(c.extension)
             shdw += int(c.shadow)
