@@ -183,16 +183,19 @@ class Renderer:
         return self._wf_state
 
     def wavefront_stats(self) -> RenderStats:
-        """Queue-counter-derived stats (tracer.cpp:361-368). One batched
-        device_get instead of per-counter syncs."""
-        host = jax.device_get(self._wf_counters)
-        prim = ext = shdw = samp = 0
-        for i, c in enumerate(host):
-            prim += int(c.raygen)
-            ext += int(c.extension)
-            shdw += int(c.shadow)
-            if i > 0:
-                samp += int(c.splatted)
+        """Queue-counter-derived stats (tracer.cpp:361-368). Counters are
+        stacked on-device and fetched in ONE transfer — per-scalar syncs
+        cost a tunnel round trip each on remote-attached TPUs."""
+        if not self._wf_counters:
+            return RenderStats.zeros()
+        flat = []
+        for c in self._wf_counters:
+            flat.extend([c.raygen, c.extension, c.shadow, c.splatted])
+        mat = np.asarray(jnp.stack(flat)).reshape(-1, 4)
+        prim = int(mat[:, 0].sum())
+        ext = int(mat[:, 1].sum())
+        shdw = int(mat[:, 2].sum())
+        samp = int(mat[1:, 3].sum()) if len(mat) > 1 else 0
         return RenderStats(jnp.int32(prim), jnp.int32(ext), jnp.int32(shdw),
                            jnp.int32(samp))
 
