@@ -100,13 +100,20 @@ class MXUScene:
     cluster_box: jnp.ndarray  # [n_clusters, 8] bmin3 bmax3 pad2 (centered)
     tri_map: jnp.ndarray      # [Mpad] padded column -> original tri index
     center: jnp.ndarray       # [3] world-space centering offset
+    # per-vertex shading attributes [3*Mpad, 8]: rows are the three vertex
+    # slots of each triangle, columns (nx, ny, nz, tu, tv, mat_id, 0, 0) —
+    # consumed by the winner-resolve matmul (see resolve_hits_mxu). None when
+    # the scene was built without attributes.
+    attrs: Optional[jnp.ndarray] = None
     # static
     n_clusters: int = dataclasses.field(metadata=dict(static=True), default=1)
     cluster_size: int = dataclasses.field(metadata=dict(static=True), default=256)
 
     @staticmethod
     def build(positions: np.ndarray, bvh: BVHArrays,
-              cluster_size: int = 256) -> "MXUScene":
+              cluster_size: int = 256, normals: Optional[np.ndarray] = None,
+              uvs: Optional[np.ndarray] = None,
+              mat_ids: Optional[np.ndarray] = None) -> "MXUScene":
         """positions: [M,3,3] world-space triangle vertices."""
         p = np.asarray(positions, np.float64)
         lo = p.reshape(-1, 3).min(0)
@@ -151,7 +158,24 @@ class MXUScene:
                             axis=1)                    # [Mpad,4,3]
         t4[~ok] = 0.0  # forces d'_w == 0 -> never hits
 
+        attrs = None
+        if normals is not None:
+            a = np.zeros((m_pad, 3, 8), np.float32)
+            a[:, :, 0:3] = normals[order]              # [Mpad,3v,3]
+            if uvs is not None:
+                a[:, :, 3:5] = uvs[order]
+            if mat_ids is not None:
+                a[:, :, 5] = mat_ids[order][:, None]
+            a[~used] = 0.0
+            # row layout: vertex-major within the cluster so the weighted
+            # one-hot [RT, 3*TC] lines up: rows [0..TC) = v0 of each tri,
+            # [TC..2TC) = v1, [2TC..3TC) = v2
+            a = a.reshape(n_clusters, cluster_size, 3, 8)
+            a = a.transpose(0, 2, 1, 3).reshape(n_clusters * 3 * cluster_size, 8)
+            attrs = jnp.asarray(a)
+
         return MXUScene(
+            attrs=attrs,
             tx=jnp.asarray(np.ascontiguousarray(t4[:, :, 0].T, np.float32)),
             ty=jnp.asarray(np.ascontiguousarray(t4[:, :, 1].T, np.float32)),
             tz=jnp.asarray(np.ascontiguousarray(t4[:, :, 2].T, np.float32)),
@@ -283,8 +307,16 @@ def _trace(o4, d4, tmax_col, scene_arrays, scene_static, any_hit, ray_tile,
 
 def closest_hit_mxu(orig: Vec3, d: Vec3, scene: MXUScene, t_max=None,
                     ray_tile: int = 512, interpret: bool = False):
-    """Returns (t, tri_idx, u, v) like traverse.closest_hit. tri_idx maps
-    back to original triangle ids via scene.tri_map."""
+    """Returns (t, tri_idx, u, v) like traverse.closest_hit."""
+    t, tri, u, v, _ = closest_hit_mxu_full(orig, d, scene, t_max, ray_tile,
+                                           interpret)
+    return t, tri, u, v
+
+
+def closest_hit_mxu_full(orig: Vec3, d: Vec3, scene: MXUScene, t_max=None,
+                         ray_tile: int = 512, interpret: bool = False):
+    """Like closest_hit_mxu but also returns the padded winner column for
+    the gather-free attribute resolve (resolve_hits_mxu)."""
     n = orig.x.shape[0]
     o4 = jnp.stack([orig.x - scene.center[0], orig.y - scene.center[1],
                     orig.z - scene.center[2], jnp.ones(n)], axis=1)
@@ -308,7 +340,78 @@ def closest_hit_mxu(orig: Vec3, d: Vec3, scene: MXUScene, t_max=None,
     v = v[:n, 0]
     i = i[:n, 0]
     tri = jnp.where(i >= 0, jnp.take(scene.tri_map, jnp.maximum(i, 0)), -1)
-    return t, tri, u, v
+    return t, tri, u, v, i
+
+
+def _resolve_kernel(col_ref, u_ref, v_ref, attr_ref, out_ref, *, rt, tc):
+    """Winner-attribute fetch WITHOUT gathers: a weighted one-hot
+    [rt, 3*tc] @ per-cluster attribute table [3*tc, 8] on the MXU gives the
+    barycentrically interpolated (normal, uv) and the mat id of each ray's
+    winning triangle. Random gathers cost ~7 ns/element on this TPU; this
+    replaces 16 of them per ray with one small matmul per (tile, cluster)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros((rt, 8), jnp.float32)
+
+    col = col_ref[:]                      # [rt,1] padded winner column
+    local = col - j * tc
+    active = (local >= 0) & (local < tc)
+
+    @pl.when(jnp.any(active))
+    def _():
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rt, tc), 1)
+        onehot = ((lane == local) & active).astype(jnp.float32)
+        u = u_ref[:]
+        v = v_ref[:]
+        w = jnp.concatenate([onehot * (1.0 - u - v), onehot * u, onehot * v],
+                            axis=1)       # [rt, 3*tc]
+        out_ref[:] = out_ref[:] + jnp.dot(
+            w, attr_ref[:], preferred_element_type=jnp.float32,
+            precision=HIGHEST)
+
+
+@partial(jax.jit, static_argnames=("scene_static", "ray_tile", "interpret"))
+def _resolve(col, u, v, attrs, scene_static, ray_tile, interpret):
+    n_clusters, tc = scene_static
+    rt = ray_tile
+    b = col.shape[0]
+    kernel = partial(_resolve_kernel, rt=rt, tc=tc)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // rt, n_clusters),
+        in_specs=[
+            pl.BlockSpec((rt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * tc, 8), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rt, 8), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 8), jnp.float32),
+        interpret=interpret,
+    )(col, u, v, attrs)
+
+
+def resolve_hits_mxu(col, u, v, scene: MXUScene, ray_tile: int = 512,
+                     interpret: bool = False):
+    """Per-ray winner attributes: (normal Vec3 (unnormalized), uu, vv,
+    mat_id int32). col: padded winner column (-1 = miss)."""
+    n = col.shape[0]
+    col2 = col.reshape(n, 1)
+    u2 = u.reshape(n, 1)
+    v2 = v.reshape(n, 1)
+    col2, _ = _pad_rays(col2, ray_tile)
+    u2, _ = _pad_rays(u2, ray_tile)
+    v2, _ = _pad_rays(v2, ray_tile)
+    out = _resolve(col2, u2, v2, scene.attrs,
+                   (scene.n_clusters, scene.cluster_size), ray_tile, interpret)
+    out = out[:n]
+    nrm = Vec3(out[:, 0], out[:, 1], out[:, 2])
+    mat = jnp.where(col >= 0, (out[:, 5] + 0.5).astype(jnp.int32), -1)
+    return nrm, out[:, 3], out[:, 4], mat
 
 
 def any_hit_mxu(orig: Vec3, d: Vec3, t_max, scene: MXUScene,

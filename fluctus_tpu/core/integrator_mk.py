@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from .. import bxdf_types as bx
 from ..bsdf import bxdf_eval, bxdf_pdf, bxdf_sample, resolve_material
-from ..envmap import env_map_pdf, eval_env_map_dir, sample_env_map_alias
+from ..envmap import env_radiance_and_pdf, env_sample
 from ..geom import MIN_PATH_LENGTH, RenderConfig, RenderParams
 from ..rng import rand
 from ..sampling import pdf_area_to_solid_angle, sample_area_light
@@ -102,11 +102,12 @@ def render_sample(scene: DeviceScene, params: RenderParams, film: Film,
         miss = alive & (hit.i < 0)
         if use_env:
             first_or_impl = (path_len == 1) | jnp.asarray(cfg.sample_impl)
-            bg = eval_env_map_dir(scene.env, s["dir"]) * params.env_map_strength
+            bg_raw, direct_pdf = env_radiance_and_pdf(scene.env, s["dir"],
+                                                      cfg.fast_env)
+            bg = bg_raw * params.env_map_strength
             bg = vwhere(first_or_impl, bg, Vec3.zeros(n))
             w = jnp.ones(n, jnp.float32)
             if cfg.sample_impl and cfg.sample_expl:
-                direct_pdf = env_map_pdf(scene.env, s["dir"])
                 actual_pdf = s["last_pdf_w"]
                 w_mis = actual_pdf / jnp.maximum(actual_pdf + direct_pdf, 1e-30)
                 use_mis = (path_len > 1) & ~s["last_specular"]
@@ -145,7 +146,8 @@ def render_sample(scene: DeviceScene, params: RenderParams, film: Film,
 
             if use_env:
                 u_env, seed = rand(seed)
-                L, direct_pdf = sample_env_map_alias(scene.env, u_env)
+                L, direct_pdf, env_raw = env_sample(scene.env, u_env,
+                                                    cfg.fast_env)
                 len_l = params.world_radius + params.world_radius
                 occluded = trace_shadow(
                     nee_orig, L, jnp.full(n, 1.0, jnp.float32) * len_l, scene,
@@ -157,7 +159,7 @@ def render_sample(scene: DeviceScene, params: RenderParams, film: Film,
                 bsdf_pdf = jnp.maximum(0.0, bxdf_pdf(nrm, sp, backface,
                                                      s["dir"], L,
                                                      cfg.material_types))
-                env_li = eval_env_map_dir(scene.env, L) * params.env_map_strength
+                env_li = env_raw * params.env_map_strength
                 denom = light_pick_prob * direct_pdf + \
                     (1.0 if cfg.sample_impl else 0.0) * bsdf_pdf
                 contrib = brdf * T * env_li * (cos_th / jnp.maximum(denom, 1e-30))

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from .. import bxdf_types as bx
 from ..bsdf import bxdf_eval, bxdf_pdf, bxdf_sample, resolve_material
-from ..envmap import env_map_pdf, eval_env_map_dir, sample_env_map_alias
+from ..envmap import env_radiance_and_pdf, env_sample
 from ..geom import MIN_PATH_LENGTH, RenderConfig, RenderParams
 from ..rng import rand
 from ..sampling import pdf_area_to_solid_angle, sample_area_light
@@ -167,11 +167,12 @@ def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
     miss = (pool.hit_i < 0) & ~terminate
     if use_env:
         first_or_impl = (plen == 1) | jnp.asarray(cfg.sample_impl)
-        bg = eval_env_map_dir(scene.env, pool.dir) * params.env_map_strength
+        bg_raw, direct_pdf = env_radiance_and_pdf(scene.env, pool.dir,
+                                                  cfg.fast_env)
+        bg = bg_raw * params.env_map_strength
         bg = vwhere(first_or_impl, bg, Vec3.zeros(n))
         w = jnp.ones(n, jnp.float32)
         if cfg.sample_impl and cfg.sample_expl:
-            direct_pdf = env_map_pdf(scene.env, pool.dir)
             actual = pool.last_pdf_w * pool.last_light_pick
             w_mis = actual / jnp.maximum(actual + direct_pdf, 1e-30)
             use_mis = (plen > 1) & ~pool.last_specular
@@ -258,8 +259,8 @@ def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
 
         if use_env:
             u_env, seed = rand(seed)
-            L, direct_pdf = sample_env_map_alias(scene.env, u_env)
-            env_li = eval_env_map_dir(scene.env, L) * params.env_map_strength
+            L, direct_pdf, env_raw = env_sample(scene.env, u_env, cfg.fast_env)
+            env_li = env_raw * params.env_map_strength
             len_l = jnp.broadcast_to(params.world_radius * 2.0, (n,))
             cos_th = jnp.maximum(0.0, dot(L, nrm))
             m = use_env_s

@@ -84,12 +84,22 @@ def trace_extension(orig: Vec3, d: Vec3, scene: DeviceScene,
     """Closest hit + optional implicit area-light quad (wf_extrays.cl:26-29).
     check_area_light: traced bool (sampleImpl && useAreaLight)."""
     if scene.mxu is not None:
-        from ..accel.mxu_trace import closest_hit_mxu
-        t, tri, u, v = closest_hit_mxu(orig, d, scene.mxu,
-                                       interpret=_interpret_pallas())
+        from ..accel.mxu_trace import closest_hit_mxu_full, resolve_hits_mxu
+        interp = _interpret_pallas()
+        t, tri, u, v, col = closest_hit_mxu_full(orig, d, scene.mxu,
+                                                 interpret=interp)
+        if scene.mxu.attrs is not None:
+            # gather-free attribute resolve on the MXU
+            nrm, uu, vv, mat_id = resolve_hits_mxu(col, u, v, scene.mxu,
+                                                   interpret=interp)
+            hit = Hit(P=orig + d * t, N=normalize(nrm), uv_u=uu, uv_v=vv,
+                      t=t, i=tri, area_light_hit=jnp.zeros_like(tri),
+                      mat_id=mat_id)
+        else:
+            hit = reconstruct_hit(orig, d, t, tri, u, v, scene.tris)
     else:
         t, tri, u, v = closest_hit(orig, d, scene.tris, scene.bvh)
-    hit = reconstruct_hit(orig, d, t, tri, u, v, scene.tris)
+        hit = reconstruct_hit(orig, d, t, tri, u, v, scene.tris)
     if area_light is not None:
         l_hit, l_t = intersect_area_light(orig, d, area_light, hit.t)
         l_hit &= check_area_light

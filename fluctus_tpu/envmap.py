@@ -94,12 +94,28 @@ class EnvironmentMap:
                           jnp.asarray(data[..., 1].reshape(-1)),
                           jnp.asarray(data[..., 2].reshape(-1)))
 
+        # single-gather variants: RGBE-packed radiance + packed alias pair
+        from .rgbe import _float_to_rgbe
+        rgbe8 = _float_to_rgbe(data.reshape(-1, 3)).astype(np.uint32)
+        self.packed = jnp.asarray(rgbe8[:, 0] | (rgbe8[:, 1] << 8)
+                                  | (rgbe8[:, 2] << 16) | (rgbe8[:, 3] << 24))
+        if w * h <= (1 << 18):
+            prob_q = np.clip(np.round(prob * 16383.0), 0, 16383).astype(np.uint32)
+            self.prob_alias = jnp.asarray((prob_q << 18)
+                                          | alias.astype(np.uint32))
+        else:
+            self.prob_alias = None
+        self.inv_mean_lum = jnp.float32(1.0 / max(integral, 1e-30))
+
     def device_tables(self) -> "EnvMapTables":
-        return EnvMapTables(self.image, self.pdf_table, self.prob_table,
-                            self.alias_table, self.width, self.height)
+        return EnvMapTables(self.image, self.packed, self.pdf_table,
+                            self.prob_table, self.alias_table,
+                            self.prob_alias, self.inv_mean_lum,
+                            self.width, self.height)
 
 
 import dataclasses  # noqa: E402
+from typing import Optional  # noqa: E402
 import jax  # noqa: E402
 
 
@@ -107,11 +123,21 @@ import jax  # noqa: E402
 @dataclasses.dataclass(frozen=True)
 class EnvMapTables:
     """Device-resident env map arrays. width/height are static Python ints
-    (pytree metadata, not traced) — they parameterize the gather math."""
-    image: Vec3          # flattened [h*w] per channel
+    (pytree metadata, not traced) — they parameterize the gather math.
+
+    ``packed`` holds each texel RGBE-encoded in one uint32: random gathers
+    on this TPU cost ~7 ns/element regardless of table, so a radiance lookup
+    must be ONE gather, not three. ``prob_alias`` likewise packs the alias
+    probability (f16 bits) and alias index into one word."""
+    image: Vec3          # flattened [h*w] per channel (reference/bilinear)
+    packed: jnp.ndarray  # uint32 RGBE per texel
     pdf_table: jnp.ndarray
     prob_table: jnp.ndarray
     alias_table: jnp.ndarray
+    # alias prob (14 bits) + alias index (18 bits) in one word; None when the
+    # map exceeds 2^18 texels
+    prob_alias: Optional[jnp.ndarray]
+    inv_mean_lum: jnp.ndarray  # 1 / mean(lum * sin)  — lets pdf be derived
     width: int = dataclasses.field(metadata=dict(static=True), default=1)
     height: int = dataclasses.field(metadata=dict(static=True), default=1)
 
@@ -199,3 +225,96 @@ def env_map_pdf(env: EnvMapTables, d: Vec3):
     pdf = jnp.take(env.pdf_table, iv * w + iu) * \
         lax.rsqrt(jnp.maximum(1.0 - d.y * d.y, 1e-12))
     return jnp.where(d.y > 0.99, 0.0, pdf)
+
+
+# ---------------------------------------------------------------------------
+# Single-gather ("fast") variants — random gathers on TPU serialize at
+# ~7 ns/element, so radiance+pdf lookups are restructured to touch ONE
+# packed uint32 table each. Radiance is RGBE-quantized (~0.4% relative);
+# the pdf is re-derived from the decoded luminance instead of gathered.
+# ---------------------------------------------------------------------------
+
+def _decode_rgbe(texel) -> Vec3:
+    """uint32 RGBE -> linear RGB (rgbe2float: value = comp * 2^(e-136))."""
+    e = ((texel >> 24) & 0xFF).astype(jnp.float32)
+    f = jnp.where(e > 0.0, jnp.exp2(e - 136.0), 0.0)
+    return Vec3((texel & 0xFF).astype(jnp.float32) * f,
+                ((texel >> 8) & 0xFF).astype(jnp.float32) * f,
+                ((texel >> 16) & 0xFF).astype(jnp.float32) * f)
+
+
+def _texel_index(env: EnvMapTables, d: Vec3):
+    w, h = env.width, env.height
+    u, v = direction_to_uv(d)
+    iu = jnp.minimum(jnp.floor(u * w).astype(jnp.int32), w - 1)
+    iv = jnp.minimum(jnp.floor(v * h).astype(jnp.int32), h - 1)
+    return iv * w + iu, iv
+
+
+def _pdf_from_lum(env: EnvMapTables, lum, iv):
+    """pdf_table value re-derived: lum * sin(theta_row) / mean * 1/(2 pi^2)."""
+    h = env.height
+    sin_row = jnp.sin(PI * (iv.astype(jnp.float32) + 0.5) / h)
+    return lum * sin_row * env.inv_mean_lum * INV_2PI_PI
+
+
+def eval_env_map_dir_fast(env: EnvMapTables, d: Vec3) -> Vec3:
+    """Nearest-neighbor RGBE lookup: one gather."""
+    idx, _ = _texel_index(env, d)
+    return _decode_rgbe(jnp.take(env.packed, idx))
+
+
+def eval_env_and_pdf_fast(env: EnvMapTables, d: Vec3):
+    """Radiance + MIS pdf from the same single gather."""
+    idx, iv = _texel_index(env, d)
+    li = _decode_rgbe(jnp.take(env.packed, idx))
+    lum = 0.212671 * li.x + 0.715160 * li.y + 0.072169 * li.z
+    import jax.lax as lax
+    pdf = _pdf_from_lum(env, lum, iv) * lax.rsqrt(
+        jnp.maximum(1.0 - d.y * d.y, 1e-12))
+    pdf = jnp.where(d.y > 0.99, 0.0, pdf)
+    return li, pdf
+
+
+def sample_env_map_alias_fast(env: EnvMapTables, rnd):
+    """Alias sample + radiance + pdf in TWO gathers (prob_alias, packed).
+
+    Matches sample_env_map_alias semantics with 14-bit-quantized alias
+    probabilities (distribution error <= 2^-14 per cell)."""
+    w, h = env.width, env.height
+    wh = w * h
+    r = rnd * wh
+    i = jnp.minimum(jnp.floor(r).astype(jnp.int32), wh - 1)
+    pa = jnp.take(env.prob_alias, i)
+    m_prob = ((pa >> 18) & 0x3FFF).astype(jnp.float32) * (1.0 / 16383.0)
+    alias = (pa & 0x3FFFF).astype(jnp.int32)
+    uv_ind = jnp.where(r - i.astype(jnp.float32) < m_prob, i, alias)
+    u = (jnp.mod(uv_ind, w).astype(jnp.float32) + 0.5) / w
+    v = (uv_ind.astype(jnp.float32) + 0.5) / wh
+    L, sin_th = uv_to_direction(u, v)
+    li = _decode_rgbe(jnp.take(env.packed, uv_ind))
+    lum = 0.212671 * li.x + 0.715160 * li.y + 0.072169 * li.z
+    iv = uv_ind // w
+    pdf = jnp.where(sin_th != 0.0,
+                    _pdf_from_lum(env, lum, iv) / jnp.maximum(sin_th, 1e-30),
+                    0.0)
+    return L, pdf, li
+
+
+# ---------------------------------------------------------------------------
+# Backend-selecting wrappers used by the integrators
+# ---------------------------------------------------------------------------
+
+def env_radiance_and_pdf(env: EnvMapTables, d: Vec3, fast: bool):
+    """(radiance, MIS pdf) along d — one gather when fast."""
+    if fast and env.prob_alias is not None:
+        return eval_env_and_pdf_fast(env, d)
+    return eval_env_map_dir(env, d), env_map_pdf(env, d)
+
+
+def env_sample(env: EnvMapTables, rnd, fast: bool):
+    """NEE sample: (L, pdf, radiance)."""
+    if fast and env.prob_alias is not None:
+        return sample_env_map_alias_fast(env, rnd)
+    L, pdf = sample_env_map_alias(env, rnd)
+    return L, pdf, eval_env_map_dir(env, L)

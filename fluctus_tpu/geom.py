@@ -101,6 +101,9 @@ class RenderConfig:
     # Unroll the bounce loop at trace time. Required on TPU: gathers inside
     # lax loops serialize (~200x slower); straightline gathers vectorize.
     unroll_bounces: bool = False
+    # Single-gather env-map path (RGBE-packed nearest lookup + derived pdf).
+    # Preferred on TPU where every random gather costs ~7 ns/element.
+    fast_env: bool = False
 
     @property
     def num_pixels(self) -> int:

@@ -71,8 +71,8 @@ class Renderer:
         mxu = None
         if on_tpu:
             from .accel.mxu_trace import MXUScene
-            p, _, _, _ = scene.triangle_arrays()
-            mxu = MXUScene.build(p, bvh)
+            p, nrm, uv, mid = scene.triangle_arrays()
+            mxu = MXUScene.build(p, bvh, normals=nrm, uvs=uv, mat_ids=mid)
 
         self.device_scene = DeviceScene(
             tris=TrianglesDevice.from_arrays(*scene.triangle_arrays()),
@@ -94,7 +94,8 @@ class Renderer:
             max_spp=s.max_spp,
             material_types=scene.material_types,
             backend="mxu" if on_tpu else "jax",
-            unroll_bounces=on_tpu)
+            unroll_bounces=on_tpu,
+            fast_env=on_tpu)
         self.params = self._make_params()
         self.reset()
 
