@@ -43,6 +43,23 @@ from .bvh import BVHArrays
 F32_MAX = np.float32(3.4028235e38)
 HIGHEST = jax.lax.Precision.HIGHEST
 
+# attrs column layout (keep in sync with resolve consumers in core/trace.py)
+ATTR_N = 0        # nx, ny, nz
+ATTR_UV = 3       # tu, tv
+ATTR_MAT = 5      # material id
+ATTR_KD = 6       # Kd gamma-linearized (matGetAlbedo semantics), 3
+ATTR_KS = 9       # Ks, 3
+ATTR_KE = 12      # Ke, 3
+ATTR_KT = 15      # Kt, 3
+ATTR_NS = 18      # GGX alpha
+ATTR_NI = 19
+ATTR_D = 20       # dissolve
+ATTR_TYPE = 21    # bxdf bits
+ATTR_MAP_KD = 22
+ATTR_MAP_KS = 23
+ATTR_MAP_N = 24
+ATTR_COLS = 32    # padded
+
 
 # ---------------------------------------------------------------------------
 # Cluster construction (host)
@@ -100,10 +117,11 @@ class MXUScene:
     cluster_box: jnp.ndarray  # [n_clusters, 8] bmin3 bmax3 pad2 (centered)
     tri_map: jnp.ndarray      # [Mpad] padded column -> original tri index
     center: jnp.ndarray       # [3] world-space centering offset
-    # per-vertex shading attributes [3*Mpad, 8]: rows are the three vertex
-    # slots of each triangle, columns (nx, ny, nz, tu, tv, mat_id, 0, 0) —
-    # consumed by the winner-resolve matmul (see resolve_hits_mxu). None when
-    # the scene was built without attributes.
+    # per-vertex shading attributes [3*Mpad, ATTR_COLS]: rows are the three
+    # vertex slots of each triangle; see ATTR_* column constants. Material
+    # parameters are baked per-triangle so the winner-resolve matmul yields
+    # hit attributes AND ShadingParams with ZERO device gathers (gathers
+    # serialize at ~7 ns/element on this TPU). None when built bare.
     attrs: Optional[jnp.ndarray] = None
     # static
     n_clusters: int = dataclasses.field(metadata=dict(static=True), default=1)
@@ -113,8 +131,10 @@ class MXUScene:
     def build(positions: np.ndarray, bvh: BVHArrays,
               cluster_size: int = 256, normals: Optional[np.ndarray] = None,
               uvs: Optional[np.ndarray] = None,
-              mat_ids: Optional[np.ndarray] = None) -> "MXUScene":
-        """positions: [M,3,3] world-space triangle vertices."""
+              mat_ids: Optional[np.ndarray] = None,
+              materials=None) -> "MXUScene":
+        """positions: [M,3,3] world-space triangle vertices. materials:
+        optional list of HostMaterial — baked per-triangle into attrs."""
         p = np.asarray(positions, np.float64)
         lo = p.reshape(-1, 3).min(0)
         hi = p.reshape(-1, 3).max(0)
@@ -160,18 +180,38 @@ class MXUScene:
 
         attrs = None
         if normals is not None:
-            a = np.zeros((m_pad, 3, 8), np.float32)
-            a[:, :, 0:3] = normals[order]              # [Mpad,3v,3]
+            a = np.zeros((m_pad, 3, ATTR_COLS), np.float32)
+            a[:, :, ATTR_N:ATTR_N + 3] = normals[order]   # [Mpad,3v,3]
             if uvs is not None:
-                a[:, :, 3:5] = uvs[order]
+                a[:, :, ATTR_UV:ATTR_UV + 2] = uvs[order]
             if mat_ids is not None:
-                a[:, :, 5] = mat_ids[order][:, None]
+                mid = mat_ids[order]
+                a[:, :, ATTR_MAT] = mid[:, None]
+                if materials is not None:
+                    # bake per-triangle material parameters (constant across
+                    # the 3 vertex slots -> barycentric weights sum to them)
+                    def col(get):
+                        return np.array([get(materials[i]) for i in
+                                         range(len(materials))], np.float32)[mid]
+                    kd = col(lambda m: m.Kd) ** 2.2   # matGetAlbedo gamma
+                    a[:, :, ATTR_KD:ATTR_KD + 3] = kd[:, None, :]
+                    a[:, :, ATTR_KS:ATTR_KS + 3] = col(lambda m: m.Ks)[:, None, :]
+                    a[:, :, ATTR_KE:ATTR_KE + 3] = col(lambda m: m.Ke)[:, None, :]
+                    a[:, :, ATTR_KT:ATTR_KT + 3] = col(lambda m: m.Kt)[:, None, :]
+                    a[:, :, ATTR_NS] = col(lambda m: m.Ns)[:, None]
+                    a[:, :, ATTR_NI] = col(lambda m: m.Ni)[:, None]
+                    a[:, :, ATTR_D] = col(lambda m: m.d)[:, None]
+                    a[:, :, ATTR_TYPE] = col(lambda m: m.type)[:, None]
+                    a[:, :, ATTR_MAP_KD] = col(lambda m: m.map_Kd)[:, None]
+                    a[:, :, ATTR_MAP_KS] = col(lambda m: m.map_Ks)[:, None]
+                    a[:, :, ATTR_MAP_N] = col(lambda m: m.map_N)[:, None]
             a[~used] = 0.0
             # row layout: vertex-major within the cluster so the weighted
             # one-hot [RT, 3*TC] lines up: rows [0..TC) = v0 of each tri,
             # [TC..2TC) = v1, [2TC..3TC) = v2
-            a = a.reshape(n_clusters, cluster_size, 3, 8)
-            a = a.transpose(0, 2, 1, 3).reshape(n_clusters * 3 * cluster_size, 8)
+            a = a.reshape(n_clusters, cluster_size, 3, ATTR_COLS)
+            a = a.transpose(0, 2, 1, 3).reshape(
+                n_clusters * 3 * cluster_size, ATTR_COLS)
             attrs = jnp.asarray(a)
 
         return MXUScene(
@@ -353,7 +393,7 @@ def _resolve_kernel(col_ref, u_ref, v_ref, attr_ref, out_ref, *, rt, tc):
 
     @pl.when(j == 0)
     def _():
-        out_ref[:] = jnp.zeros((rt, 8), jnp.float32)
+        out_ref[:] = jnp.zeros((rt, ATTR_COLS), jnp.float32)
 
     col = col_ref[:]                      # [rt,1] padded winner column
     local = col - j * tc
@@ -385,20 +425,20 @@ def _resolve(col, u, v, attrs, scene_static, ray_tile, interpret):
             pl.BlockSpec((rt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * tc, 8), lambda i, j: (j, 0),
+            pl.BlockSpec((3 * tc, ATTR_COLS), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rt, 8), lambda i, j: (i, 0),
+        out_specs=pl.BlockSpec((rt, ATTR_COLS), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, ATTR_COLS), jnp.float32),
         interpret=interpret,
     )(col, u, v, attrs)
 
 
 def resolve_hits_mxu(col, u, v, scene: MXUScene, ray_tile: int = 512,
                      interpret: bool = False):
-    """Per-ray winner attributes: (normal Vec3 (unnormalized), uu, vv,
-    mat_id int32). col: padded winner column (-1 = miss)."""
+    """Per-ray winner attribute row [n, ATTR_COLS] (see ATTR_* constants).
+    col: padded winner column (-1 = miss -> zero row)."""
     n = col.shape[0]
     col2 = col.reshape(n, 1)
     u2 = u.reshape(n, 1)
@@ -408,10 +448,7 @@ def resolve_hits_mxu(col, u, v, scene: MXUScene, ray_tile: int = 512,
     v2, _ = _pad_rays(v2, ray_tile)
     out = _resolve(col2, u2, v2, scene.attrs,
                    (scene.n_clusters, scene.cluster_size), ray_tile, interpret)
-    out = out[:n]
-    nrm = Vec3(out[:, 0], out[:, 1], out[:, 2])
-    mat = jnp.where(col >= 0, (out[:, 5] + 0.5).astype(jnp.int32), -1)
-    return nrm, out[:, 3], out[:, 4], mat
+    return out[:n]
 
 
 def any_hit_mxu(orig: Vec3, d: Vec3, t_max, scene: MXUScene,

@@ -1,2 +1,3 @@
 from .dispatch import (  # noqa: F401
-    ShadingParams, bxdf_sample, bxdf_eval, bxdf_pdf, resolve_material)
+    ShadingParams, apply_textures, bxdf_sample, bxdf_eval, bxdf_pdf,
+    resolve_material)

@@ -47,6 +47,8 @@ class ShadingParams(NamedTuple):
     d: jnp.ndarray
     type: jnp.ndarray    # int32 bxdf bits
     map_N: jnp.ndarray   # normal-map texture idx (used by hit reconstruction)
+    map_Kd: jnp.ndarray  # diffuse/specular texture idx (apply_textures)
+    map_Ks: jnp.ndarray
 
 
 def resolve_material(mats: MaterialsSoA, mat_id, uv_u, uv_v, atlas) -> ShadingParams:
@@ -57,7 +59,21 @@ def resolve_material(mats: MaterialsSoA, mat_id, uv_u, uv_v, atlas) -> ShadingPa
         Kd=mat_get_albedo(m.Kd, uv_u, uv_v, m.map_Kd, atlas),
         Ks=mat_get_float3(m.Ks, uv_u, uv_v, m.map_Ks, atlas),
         Ke=m.Ke, Kt=m.Kt, alpha=m.Ns, Ni=m.Ni, d=m.d, type=m.type,
-        map_N=m.map_N)
+        map_N=m.map_N, map_Kd=m.map_Kd, map_Ks=m.map_Ks)
+
+
+def apply_textures(sp: ShadingParams, uv_u, uv_v, atlas) -> ShadingParams:
+    """Overlay Kd/Ks textures onto baked material parameters (used with the
+    MXU attribute-resolve path, where constants come gather-free and only
+    actual texels are fetched). No-op for untextured scenes."""
+    if getattr(atlas, "count", 0) == 0:
+        return sp
+    kd = mat_get_albedo(Vec3.zeros(sp.alpha.shape), uv_u, uv_v, sp.map_Kd,
+                        atlas)
+    ks = mat_get_float3(Vec3.zeros(sp.alpha.shape), uv_u, uv_v, sp.map_Ks,
+                        atlas)
+    return sp._replace(Kd=vwhere(sp.map_Kd >= 0, kd, sp.Kd),
+                       Ks=vwhere(sp.map_Ks >= 0, ks, sp.Ks))
 
 
 def _sel(t, *types):

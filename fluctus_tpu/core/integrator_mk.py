@@ -94,8 +94,10 @@ def render_sample(scene: DeviceScene, params: RenderParams, film: Film,
         T = s["T"]
         Ei = s["Ei"]
 
-        hit = trace_extension(s["orig"], s["dir"], scene, light,
-                              jnp.asarray(cfg.sample_impl and cfg.use_area_light))
+        hit, sp_baked = trace_extension(
+            s["orig"], s["dir"], scene, light,
+            jnp.asarray(cfg.sample_impl and cfg.use_area_light),
+            want_shading=True)
         s_ext = s["ext_count"] + jnp.sum(alive.astype(jnp.int32))
 
         # ---- implicit environment hit (mk_next_vertex.cl:72-95) ----------
@@ -130,8 +132,12 @@ def render_sample(scene: DeviceScene, params: RenderParams, film: Film,
             alive = alive & ~al_hit
 
         # ---- surface shading (mk_sample_bsdf.cl) -------------------------
-        sp = resolve_material(scene.mats, hit.mat_id, hit.uv_u, hit.uv_v,
-                              scene.atlas)
+        if sp_baked is not None:
+            from ..bsdf import apply_textures
+            sp = apply_textures(sp_baked, hit.uv_u, hit.uv_v, scene.atlas)
+        else:
+            sp = resolve_material(scene.mats, hit.mat_id, hit.uv_u, hit.uv_v,
+                                  scene.atlas)
         nrm = tangent_space_normal(hit, scene.tris, sp.map_N, scene.atlas)
         backface = dot(nrm, s["dir"]) > 0.0
         nrm = vwhere(backface, -nrm, nrm)

@@ -13,11 +13,17 @@ Design translation (SURVEY §7):
     ``segment_sum`` over pixel indices.
   * Material binning (wf_logic.cl:337-342) is unnecessary: shading runs as a
     masked superkernel over the lobes present in the scene.
-  * One call = one wavefront segment: logic -> regen -> material ->
-    extension -> shadow, all fused into a single jitted step.
+  * One call = one wavefront segment, fully fused and loop-free.
+
+Segment order is rotated relative to the reference (trace first, then
+logic/shade) so the MXU winner-resolve kernel's hit attributes and baked
+material parameters are consumed in the same dispatch — the hit record
+never round-trips through the pool. Dataflow is identical to the
+reference's logic -> raygen -> material -> extension -> shadow chain; only
+the iteration boundary moves.
 
 MIS weights, the light-pick probability split (env vs area,
-wf_logic.cl:249-251), RR placement (wf_logic.cl:62-74, with the T /=
+wf_logic.cl:249-251), RR placement (wf_logic.cl:62-74 with the T /=
 contProb compensation), the 0.995 shadow-ray shortening for area lights
 (wf_logic.cl:308) and the CHECK_SPP splat cap (wf_logic.cl:76-84,177-189)
 follow the reference. Like the reference's racy double-check, the spp cap
@@ -45,7 +51,8 @@ from .trace import (DeviceScene, tangent_space_normal, trace_extension,
 
 
 class WfPool(NamedTuple):
-    """Path pool SoA — GPUTaskState (geom.h:222-259) as [num_tasks] arrays."""
+    """Path pool SoA — GPUTaskState (geom.h:222-259) as [num_tasks] arrays.
+    Hit records are NOT stored: the segment traces and shades in one pass."""
     orig: Vec3
     dir: Vec3
     shadow_orig: Vec3
@@ -55,22 +62,12 @@ class WfPool(NamedTuple):
     last_bsdf: Vec3
     last_emission: Vec3
     last_T: Vec3
-    # hit record
-    hit_p: Vec3
-    hit_n: Vec3
-    hit_uvu: jnp.ndarray
-    hit_uvv: jnp.ndarray
-    hit_t: jnp.ndarray
-    hit_i: jnp.ndarray
-    hit_area_light: jnp.ndarray
-    hit_mat: jnp.ndarray
-    # path scalars
     last_pdf_w: jnp.ndarray
-    path_len: jnp.ndarray
+    path_len: jnp.ndarray       # int32; -1 = freshly reset (pre-first-trace)
     seed: jnp.ndarray
     last_specular: jnp.ndarray
     shadow_blocked: jnp.ndarray
-    backface: jnp.ndarray
+    shadow_pending: jnp.ndarray
     pixel_index: jnp.ndarray
     last_pdf_direct: jnp.ndarray
     last_pdf_implicit: jnp.ndarray
@@ -95,29 +92,23 @@ class WfCounters(NamedTuple):
 
 
 def wf_reset(config: RenderConfig, num_tasks: int, world_radius=1.0) -> WfState:
-    """wf_reset.cl: clear film, reset pool, seed = gid, all paths terminated
-    (hit_i = -1, len = 0 -> they regenerate on the first segment)."""
+    """wf_reset.cl: clear film, reset pool, seed = gid. path_len = -1 marks
+    paths as pre-birth: the first segment regenerates them without splatting."""
     n = num_tasks
     z = jnp.zeros(n, jnp.float32)
-    zi = jnp.zeros(n, jnp.int32)
     pool = WfPool(
         orig=Vec3(z, z, z), dir=Vec3(z, z, jnp.ones(n)),
         shadow_orig=Vec3(z, z, z), shadow_dir=Vec3(z, z, jnp.ones(n)),
         T=Vec3.ones(n), Ei=Vec3.zeros(n),
         last_bsdf=Vec3.zeros(n), last_emission=Vec3.zeros(n),
         last_T=Vec3.zeros(n),
-        hit_p=Vec3(z, z, z), hit_n=Vec3(z, z, jnp.ones(n)),
-        hit_uvu=z, hit_uvv=z,
-        hit_t=jnp.full(n, 3.4e38, jnp.float32),
-        hit_i=jnp.full(n, -1, jnp.int32),
-        hit_area_light=zi, hit_mat=jnp.full(n, -1, jnp.int32),
         last_pdf_w=jnp.ones(n, jnp.float32),
-        path_len=zi,
+        path_len=jnp.full(n, -1, jnp.int32),
         seed=jnp.arange(n, dtype=jnp.uint32),
         last_specular=jnp.ones(n, bool),
         shadow_blocked=jnp.ones(n, bool),
-        backface=jnp.zeros(n, bool),
-        pixel_index=zi,
+        shadow_pending=jnp.zeros(n, bool),
+        pixel_index=jnp.zeros(n, jnp.int32),
         last_pdf_direct=z, last_pdf_implicit=z, last_cos_th=z,
         last_light_pick=jnp.ones(n, jnp.float32),
         shadow_len=jnp.full(n, 2.0 * world_radius, jnp.float32))
@@ -128,7 +119,10 @@ def wf_reset(config: RenderConfig, num_tasks: int, world_radius=1.0) -> WfState:
 
 def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
                config: RenderConfig, first_iteration: bool = False):
-    """Advance the wavefront one segment. Returns (state, counters)."""
+    """Advance the wavefront one segment: extension trace + shadow trace of
+    the previous segment's rays, logic (implicit hits, NEE resolve, splat,
+    RR), NEE generation, material sampling, ray regeneration.
+    Returns (state, counters)."""
     cfg = config
     pool = state.pool
     n = pool.seed.shape[0]
@@ -139,12 +133,25 @@ def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
     seed = pool.seed
     T = pool.T
     Ei = pool.Ei
-    plen = pool.path_len
+
+    # =====================================================================
+    # EXTENSION + SHADOW traces for the rays staged last segment
+    # (wf_extrays.cl / wf_shadowrays.cl)
+    # =====================================================================
+    res = trace_extension(pool.orig, pool.dir, scene, light,
+                          jnp.asarray(cfg.sample_impl and cfg.use_area_light),
+                          want_shading=True)
+    hit, sp = res
+    plen = pool.path_len + 1
+
+    occluded = trace_shadow(pool.shadow_orig, pool.shadow_dir, pool.shadow_len,
+                            scene, light, jnp.asarray(cfg.use_area_light))
+    shadow_blocked = jnp.where(pool.shadow_pending, occluded, True)
 
     # =====================================================================
     # LOGIC (wf_logic.cl)
     # =====================================================================
-    terminate = jnp.zeros(n, bool)
+    terminate = plen <= 0   # pre-birth paths regenerate without splatting
     if cfg.max_bounces > 0:
         terminate |= plen >= (cfg.max_bounces + 1)
 
@@ -164,7 +171,7 @@ def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
     terminate |= is_zero(T) | (pool.last_pdf_w == 0.0)
 
     # ---- implicit environment hit (wf_logic.cl:98-122) -------------------
-    miss = (pool.hit_i < 0) & ~terminate
+    miss = (hit.i < 0) & ~terminate & (plen > 0)
     if use_env:
         first_or_impl = (plen == 1) | jnp.asarray(cfg.sample_impl)
         bg_raw, direct_pdf = env_radiance_and_pdf(scene.env, pool.dir,
@@ -178,17 +185,17 @@ def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
             use_mis = (plen > 1) & ~pool.last_specular
             w = jnp.where(use_mis, w_mis, w)
         Ei = vwhere(miss, Ei + T * bg * w, Ei)
-    terminate |= miss
+    terminate |= hit.i < 0
 
     # ---- implicit area light hit (wf_logic.cl:124-147) --------------------
     if light is not None:
-        al = (pool.hit_area_light > 0) & ~terminate
+        al = (hit.area_light_hit > 0) & ~terminate
         mis_w = jnp.ones(n, jnp.float32)
         if cfg.sample_expl:
             pdf_a = 1.0 / (4.0 * light.size_x * light.size_y)
-            dist = length(pool.hit_p - pool.orig)
+            dist = length(hit.P - pool.orig)
             pdf_w = pdf_area_to_solid_angle(pdf_a, dist,
-                                            -dot(pool.dir, pool.hit_n))
+                                            -dot(pool.dir, hit.N))
             w_mis = pool.last_pdf_w / jnp.maximum(
                 pool.last_pdf_w + pdf_w * pool.last_light_pick, 1e-30)
             use_mis = (plen > 1) & ~pool.last_specular
@@ -198,7 +205,7 @@ def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
 
     # ---- NEE shadow-ray resolution (wf_logic.cl:149-168) ------------------
     if cfg.sample_expl:
-        unblocked = ~pool.shadow_blocked
+        unblocked = ~shadow_blocked
         denom = (pool.last_light_pick * pool.last_pdf_direct
                  + (1.0 if cfg.sample_impl else 0.0) * pool.last_pdf_implicit)
         contrib = pool.last_bsdf * pool.last_T * pool.last_emission * (
@@ -211,35 +218,37 @@ def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
         splat &= ~max_samples_reached
     seg = jnp.where(splat, pool.pixel_index, num_pixels)  # overflow bucket
     film = state.film
+
+    def ssum(v):
+        return jax.ops.segment_sum(jnp.where(splat, v, 0.0), seg,
+                                   num_segments=num_pixels + 1)[:num_pixels]
+
     film = Film(
-        color=Vec3(
-            film.color.x + jax.ops.segment_sum(jnp.where(splat, Ei.x, 0.0), seg, num_segments=num_pixels + 1)[:num_pixels],
-            film.color.y + jax.ops.segment_sum(jnp.where(splat, Ei.y, 0.0), seg, num_segments=num_pixels + 1)[:num_pixels],
-            film.color.z + jax.ops.segment_sum(jnp.where(splat, Ei.z, 0.0), seg, num_segments=num_pixels + 1)[:num_pixels]),
-        weight=film.weight + jax.ops.segment_sum(
-            jnp.where(splat, 1.0, 0.0), seg, num_segments=num_pixels + 1)[:num_pixels])
+        color=Vec3(film.color.x + ssum(Ei.x), film.color.y + ssum(Ei.y),
+                   film.color.z + ssum(Ei.z)),
+        weight=film.weight + ssum(jnp.ones(n)))
     spp_counts = state.spp
     if cfg.max_spp > 0:
         spp_counts = jnp.minimum(
             spp_counts + jax.ops.segment_sum(
                 splat.astype(jnp.int32), seg,
-                num_segments=num_pixels + 1)[:num_pixels].astype(jnp.int32),
+                num_segments=num_pixels + 1)[:num_pixels],
             cfg.max_spp)
 
     # =====================================================================
-    # Shading side (surviving paths): normal map + NEE generation + material
+    # Shading (surviving paths): normal map + NEE generation + material
     # =====================================================================
     alive = ~terminate
-    sp = resolve_material(scene.mats, pool.hit_mat, pool.hit_uvu, pool.hit_uvv,
-                          scene.atlas)
-    from ..geom import Hit
-    hit = Hit(P=pool.hit_p, N=pool.hit_n, uv_u=pool.hit_uvu, uv_v=pool.hit_uvv,
-              t=pool.hit_t, i=pool.hit_i, area_light_hit=pool.hit_area_light,
-              mat_id=pool.hit_mat)
+    if sp is None:
+        sp = resolve_material(scene.mats, hit.mat_id, hit.uv_u, hit.uv_v,
+                              scene.atlas)
+    else:
+        from ..bsdf import apply_textures
+        sp = apply_textures(sp, hit.uv_u, hit.uv_v, scene.atlas)
     nrm = tangent_space_normal(hit, scene.tris, sp.map_N, scene.atlas)
     backface = dot(nrm, pool.dir) > 0.0
     nrm = vwhere(backface, -nrm, nrm)
-    nee_orig = pool.hit_p - pool.dir * 1e-3
+    nee_orig = hit.P - pool.dir * 1e-3
 
     singular = (sp.type & bx.BXDF_SINGULAR_MASK) != 0
     shadow_pending = jnp.zeros(n, bool)
@@ -307,7 +316,7 @@ def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
     bad = (pdf_w == 0.0) | is_zero(f)
     new_T = vwhere(bad, Vec3.zeros(n),
                    T * f * (dot(nrm, d_new) / jnp.where(bad, 1.0, pdf_w)))
-    cont_orig = pool.hit_p + d_new * 1e-4
+    cont_orig = hit.P + d_new * 1e-4
 
     # =====================================================================
     # RAYGEN for terminated paths (wf_raygen.cl) — pixel ring
@@ -321,8 +330,8 @@ def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
         params.world_radius, seed)
 
     # merge: terminated -> fresh camera path; alive -> continuation
-    orig = vwhere(terminate, cam_orig, vwhere(alive, cont_orig, pool.orig))
-    direc = vwhere(terminate, cam_dir, vwhere(alive, d_new, pool.dir))
+    orig = vwhere(terminate, cam_orig, cont_orig)
+    direc = vwhere(terminate, cam_dir, d_new)
     T_out = vwhere(terminate, Vec3.ones(n), new_T)
     Ei_out = vwhere(terminate, Vec3.zeros(n), Ei)
     plen_out = jnp.where(terminate, 0, plen)
@@ -337,28 +346,16 @@ def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
     l_emission = vwhere(terminate, Vec3.zeros(n), l_emission)
     nee_bsdf = vwhere(terminate, Vec3.zeros(n), nee_bsdf)
 
-    # =====================================================================
-    # EXTENSION + SHADOW traces (wf_extrays.cl / wf_shadowrays.cl)
-    # =====================================================================
-    hit = trace_extension(orig, direc, scene, light,
-                          jnp.asarray(cfg.sample_impl and cfg.use_area_light))
-    plen_out = plen_out + 1
-
-    occluded = trace_shadow(shadow_orig, shadow_dir, shadow_len, scene,
-                            light, jnp.asarray(cfg.use_area_light))
-    shadow_blocked = jnp.where(shadow_pending, occluded, True)
-
     new_pool = WfPool(
         orig=orig, dir=direc,
         shadow_orig=shadow_orig, shadow_dir=shadow_dir,
         T=T_out, Ei=Ei_out,
         last_bsdf=nee_bsdf, last_emission=l_emission, last_T=last_T,
-        hit_p=hit.P, hit_n=hit.N, hit_uvu=hit.uv_u, hit_uvv=hit.uv_v,
-        hit_t=hit.t, hit_i=hit.i, hit_area_light=hit.area_light_hit,
-        hit_mat=hit.mat_id,
         last_pdf_w=last_pdf_w, path_len=plen_out, seed=seed,
-        last_specular=last_specular, shadow_blocked=shadow_blocked,
-        backface=backface, pixel_index=pixel_index,
+        last_specular=last_specular,
+        shadow_blocked=jnp.ones(n, bool),   # resolved next segment
+        shadow_pending=shadow_pending,
+        pixel_index=pixel_index,
         last_pdf_direct=l_pdf_direct, last_pdf_implicit=l_pdf_implicit,
         last_cos_th=l_cos_th, last_light_pick=l_pick,
         shadow_len=shadow_len)

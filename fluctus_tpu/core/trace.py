@@ -78,23 +78,53 @@ def _interpret_pallas() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def shading_from_attrs(row, col):
+    """Build ShadingParams from a winner-resolve attribute row
+    (accel/mxu_trace.py ATTR_* layout) — zero gathers."""
+    from ..accel import mxu_trace as mt
+    from ..bsdf import ShadingParams
+    g = lambda c: row[:, c]
+    v3 = lambda c: Vec3(row[:, c], row[:, c + 1], row[:, c + 2])
+    valid = col >= 0
+    return ShadingParams(
+        Kd=v3(mt.ATTR_KD), Ks=v3(mt.ATTR_KS), Ke=v3(mt.ATTR_KE),
+        Kt=v3(mt.ATTR_KT), alpha=g(mt.ATTR_NS), Ni=g(mt.ATTR_NI),
+        d=g(mt.ATTR_D),
+        type=jnp.where(valid, (g(mt.ATTR_TYPE) + 0.5).astype(jnp.int32), 0),
+        map_N=jnp.where(valid, jnp.round(g(mt.ATTR_MAP_N)).astype(jnp.int32),
+                        -1),
+        map_Kd=jnp.where(valid,
+                         jnp.round(g(mt.ATTR_MAP_KD)).astype(jnp.int32), -1),
+        map_Ks=jnp.where(valid,
+                         jnp.round(g(mt.ATTR_MAP_KS)).astype(jnp.int32), -1))
+
+
 def trace_extension(orig: Vec3, d: Vec3, scene: DeviceScene,
                     area_light: Optional[AreaLight],
-                    check_area_light) -> Hit:
+                    check_area_light, want_shading: bool = False):
     """Closest hit + optional implicit area-light quad (wf_extrays.cl:26-29).
-    check_area_light: traced bool (sampleImpl && useAreaLight)."""
+    check_area_light: traced bool (sampleImpl && useAreaLight).
+    Returns Hit, or (Hit, ShadingParams-or-None) when want_shading."""
+    sp = None
     if scene.mxu is not None:
-        from ..accel.mxu_trace import closest_hit_mxu_full, resolve_hits_mxu
+        from ..accel import mxu_trace as mt
         interp = _interpret_pallas()
-        t, tri, u, v, col = closest_hit_mxu_full(orig, d, scene.mxu,
-                                                 interpret=interp)
+        t, tri, u, v, col = mt.closest_hit_mxu_full(orig, d, scene.mxu,
+                                                    interpret=interp)
         if scene.mxu.attrs is not None:
-            # gather-free attribute resolve on the MXU
-            nrm, uu, vv, mat_id = resolve_hits_mxu(col, u, v, scene.mxu,
-                                                   interpret=interp)
-            hit = Hit(P=orig + d * t, N=normalize(nrm), uv_u=uu, uv_v=vv,
+            # gather-free attribute + material resolve on the MXU
+            row = mt.resolve_hits_mxu(col, u, v, scene.mxu, interpret=interp)
+            nrm = Vec3(row[:, mt.ATTR_N], row[:, mt.ATTR_N + 1],
+                       row[:, mt.ATTR_N + 2])
+            mat_id = jnp.where(col >= 0,
+                               (row[:, mt.ATTR_MAT] + 0.5).astype(jnp.int32),
+                               -1)
+            hit = Hit(P=orig + d * t, N=normalize(nrm),
+                      uv_u=row[:, mt.ATTR_UV], uv_v=row[:, mt.ATTR_UV + 1],
                       t=t, i=tri, area_light_hit=jnp.zeros_like(tri),
                       mat_id=mat_id)
+            if want_shading:
+                sp = shading_from_attrs(row, col)
         else:
             hit = reconstruct_hit(orig, d, t, tri, u, v, scene.tris)
     else:
@@ -114,6 +144,8 @@ def trace_extension(orig: Vec3, d: Vec3, scene: DeviceScene,
             i=jnp.where(l_hit, 0, hit.i),            # intersect.cl:152
             area_light_hit=jnp.where(l_hit, 1, hit.area_light_hit),
             mat_id=jnp.where(l_hit, 0, hit.mat_id))  # intersect.cl:153
+    if want_shading:
+        return hit, sp
     return hit
 
 

@@ -72,7 +72,8 @@ class Renderer:
         if on_tpu:
             from .accel.mxu_trace import MXUScene
             p, nrm, uv, mid = scene.triangle_arrays()
-            mxu = MXUScene.build(p, bvh, normals=nrm, uvs=uv, mat_ids=mid)
+            mxu = MXUScene.build(p, bvh, normals=nrm, uvs=uv, mat_ids=mid,
+                                 materials=scene.materials)
 
         self.device_scene = DeviceScene(
             tris=TrianglesDevice.from_arrays(*scene.triangle_arrays()),

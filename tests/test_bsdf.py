@@ -17,7 +17,9 @@ def make_params(n, **kw):
         Kd=Vec3(o, o, o), Ks=Vec3(o, o, o), Ke=Vec3(z, z, z), Kt=Vec3(z, z, z),
         alpha=jnp.full(n, 0.2), Ni=jnp.full(n, 1.5), d=o,
         type=jnp.full(n, bx.BXDF_DIFFUSE, jnp.int32),
-        map_N=jnp.full(n, -1, jnp.int32))
+        map_N=jnp.full(n, -1, jnp.int32),
+        map_Kd=jnp.full(n, -1, jnp.int32),
+        map_Ks=jnp.full(n, -1, jnp.int32))
     for k, v in kw.items():
         if k == "type":
             defaults[k] = jnp.full(n, v, jnp.int32)

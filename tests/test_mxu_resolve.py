@@ -35,8 +35,12 @@ def test_resolve_matches_gather_reconstruction():
 
     t, tri, u, v, col = closest_hit_mxu_full(ov, dv, mxu, ray_tile=256,
                                              interpret=True)
-    n2, uu, vv, mat2 = resolve_hits_mxu(col, u, v, mxu, ray_tile=256,
-                                        interpret=True)
+    from fluctus_tpu.accel import mxu_trace as mt
+    row = resolve_hits_mxu(col, u, v, mxu, ray_tile=256, interpret=True)
+    n2 = Vec3(row[:, mt.ATTR_N], row[:, mt.ATTR_N + 1], row[:, mt.ATTR_N + 2])
+    uu, vv = row[:, mt.ATTR_UV], row[:, mt.ATTR_UV + 1]
+    mat2 = jnp.where(col >= 0,
+                     (row[:, mt.ATTR_MAT] + 0.5).astype(jnp.int32), -1)
     ref = reconstruct_hit(ov, dv, t, tri, u, v, tris)
 
     hitm = np.asarray(tri) >= 0
