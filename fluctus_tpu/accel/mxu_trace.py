@@ -58,6 +58,7 @@ ATTR_TYPE = 21    # bxdf bits
 ATTR_MAP_KD = 22
 ATTR_MAP_KS = 23
 ATTR_MAP_N = 24
+ATTR_TRI = 25     # original triangle index (float-exact below 2^24)
 ATTR_COLS = 32    # padded
 
 
@@ -205,6 +206,7 @@ class MXUScene:
                     a[:, :, ATTR_MAP_KD] = col(lambda m: m.map_Kd)[:, None]
                     a[:, :, ATTR_MAP_KS] = col(lambda m: m.map_Ks)[:, None]
                     a[:, :, ATTR_MAP_N] = col(lambda m: m.map_N)[:, None]
+            a[:, :, ATTR_TRI] = order[:, None].astype(np.float32)
             a[~used] = 0.0
             # row layout: vertex-major within the cluster so the weighted
             # one-hot [RT, 3*TC] lines up: rows [0..TC) = v0 of each tri,

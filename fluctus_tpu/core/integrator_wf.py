@@ -219,14 +219,18 @@ def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
     seg = jnp.where(splat, pool.pixel_index, num_pixels)  # overflow bucket
     film = state.film
 
-    def ssum(v):
-        return jax.ops.segment_sum(jnp.where(splat, v, 0.0), seg,
-                                   num_segments=num_pixels + 1)[:num_pixels]
-
+    # one 4-channel scatter instead of four 1-channel ones — scatters take
+    # the same slow path as gathers on this TPU, so passes are minimized
+    data = jnp.stack([jnp.where(splat, Ei.x, 0.0),
+                      jnp.where(splat, Ei.y, 0.0),
+                      jnp.where(splat, Ei.z, 0.0),
+                      splat.astype(jnp.float32)], axis=1)
+    acc = jax.ops.segment_sum(data, seg,
+                              num_segments=num_pixels + 1)[:num_pixels]
     film = Film(
-        color=Vec3(film.color.x + ssum(Ei.x), film.color.y + ssum(Ei.y),
-                   film.color.z + ssum(Ei.z)),
-        weight=film.weight + ssum(jnp.ones(n)))
+        color=Vec3(film.color.x + acc[:, 0], film.color.y + acc[:, 1],
+                   film.color.z + acc[:, 2]),
+        weight=film.weight + acc[:, 3])
     spp_counts = state.spp
     if cfg.max_spp > 0:
         spp_counts = jnp.minimum(

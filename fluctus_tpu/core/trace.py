@@ -119,6 +119,9 @@ def trace_extension(orig: Vec3, d: Vec3, scene: DeviceScene,
             mat_id = jnp.where(col >= 0,
                                (row[:, mt.ATTR_MAT] + 0.5).astype(jnp.int32),
                                -1)
+            # original tri id comes from the attrs matmul too (float-exact)
+            tri = jnp.where(col >= 0,
+                            (row[:, mt.ATTR_TRI] + 0.5).astype(jnp.int32), -1)
             hit = Hit(P=orig + d * t, N=normalize(nrm),
                       uv_u=row[:, mt.ATTR_UV], uv_v=row[:, mt.ATTR_UV + 1],
                       t=t, i=tri, area_light_hit=jnp.zeros_like(tri),
