@@ -232,6 +232,77 @@ class MXUScene:
 # Pallas kernels
 # ---------------------------------------------------------------------------
 
+def _trace_kernel_vmem(o_ref, d_ref, tm_ref, tx_ref, ty_ref, tz_ref, box_ref,
+                       t_ref, u_ref, v_ref, i_ref,
+                       *, rt, tc, n_clusters, any_hit):
+    """Single-pass variant: grid = ray tiles only; the whole transform table
+    lives in VMEM and the cluster sweep is an in-kernel fori_loop. This
+    removes the per-(tile, cluster) grid-program overhead (~3 us each),
+    which dominates for scenes with many clusters. Used when the tables fit
+    VMEM; the grid-over-clusters variant handles larger scenes."""
+    O = o_ref[:]                     # [rt, 4]
+    D = d_ref[:]
+    inv = 1.0 / jnp.where(D[:, 0:3] == 0.0, 1e-30, D[:, 0:3])
+    dot = partial(jnp.dot, preferred_element_type=jnp.float32,
+                  precision=HIGHEST)
+
+    def body(j, carry):
+        t_best, u_best, v_best, i_best = carry
+        box = box_ref[j, :]
+        t1 = (box[0:3] - O[:, 0:3]) * inv
+        t2 = (box[3:6] - O[:, 0:3]) * inv
+        tnear = jnp.max(jnp.minimum(t1, t2), axis=1, keepdims=True)
+        tfar = jnp.min(jnp.maximum(t1, t2), axis=1, keepdims=True)
+        box_hit = (tfar >= 0.0) & (tnear <= tfar) & (tnear < t_best)
+        if any_hit:
+            box_hit = box_hit & (i_best < 0)
+
+        def live(_):
+            tx = tx_ref[:, pl.ds(j * tc, tc)]
+            ty = ty_ref[:, pl.ds(j * tc, tc)]
+            tz = tz_ref[:, pl.ds(j * tc, tc)]
+            ox = dot(O, tx)
+            oy = dot(O, ty)
+            oz = dot(O, tz)
+            dx = dot(D, tx)
+            dy = dot(D, ty)
+            dz = dot(D, tz)
+            safe = jnp.where(dz == 0.0, 1.0, dz)
+            t = -oz / safe
+            u = ox + t * dx
+            v = oy + t * dy
+            valid = (dz != 0.0) & (t > 0.0) & (u >= 0.0) & (v >= 0.0) & \
+                (u + v <= 1.0)
+            tcand = jnp.where(valid, t, F32_MAX)
+            tmin = jnp.min(tcand, axis=1, keepdims=True)
+            better = tmin < t_best
+            if any_hit:
+                return (t_best, u_best, v_best,
+                        jnp.where(better, 1, i_best))
+            col = jax.lax.broadcasted_iota(jnp.int32, (rt, tc), 1)
+            ismin = tcand <= tmin
+            colmin = jnp.min(jnp.where(ismin, col, tc), axis=1, keepdims=True)
+            first = (col == colmin) & ismin
+            usel = jnp.sum(jnp.where(first, u, 0.0), axis=1, keepdims=True)
+            vsel = jnp.sum(jnp.where(first, v, 0.0), axis=1, keepdims=True)
+            isel = colmin + j * tc
+            return (jnp.where(better, tmin, t_best),
+                    jnp.where(better, usel, u_best),
+                    jnp.where(better, vsel, v_best),
+                    jnp.where(better, isel, i_best))
+
+        return jax.lax.cond(jnp.any(box_hit), live, lambda _: carry, None)
+
+    init = (tm_ref[:], jnp.zeros((rt, 1), jnp.float32),
+            jnp.zeros((rt, 1), jnp.float32), jnp.full((rt, 1), -1, jnp.int32))
+    t_best, u_best, v_best, i_best = jax.lax.fori_loop(
+        0, n_clusters, body, init)
+    t_ref[:] = t_best
+    u_ref[:] = u_best
+    v_ref[:] = v_best
+    i_ref[:] = i_best
+
+
 def _trace_kernel(o_ref, d_ref, tm_ref, tx_ref, ty_ref, tz_ref, box_ref,
                   t_ref, u_ref, v_ref, i_ref,
                   *, rt, tc, any_hit):
@@ -314,6 +385,39 @@ def _trace(o4, d4, tmax_col, scene_arrays, scene_static, any_hit, ray_tile,
     tx, ty, tz, boxes = scene_arrays
     rt = ray_tile
     b = o4.shape[0]
+
+    m_pad = tx.shape[1]
+    if m_pad <= 65536:
+        # tables fit in VMEM: single grid dim, in-kernel cluster sweep
+        kernel = partial(_trace_kernel_vmem, rt=rt, tc=tc,
+                         n_clusters=n_clusters, any_hit=any_hit)
+        out = pl.pallas_call(
+            kernel,
+            grid=(b // rt,),
+            in_specs=[
+                pl.BlockSpec((rt, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((rt, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, 1), jnp.float32),
+                jax.ShapeDtypeStruct((b, 1), jnp.float32),
+                jax.ShapeDtypeStruct((b, 1), jnp.float32),
+                jax.ShapeDtypeStruct((b, 1), jnp.int32),
+            ],
+            interpret=interpret,
+        )(o4, d4, tmax_col, tx, ty, tz, boxes)
+        return out
 
     kernel = partial(_trace_kernel, rt=rt, tc=tc, any_hit=any_hit)
     grid = (b // rt, n_clusters)

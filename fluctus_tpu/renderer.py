@@ -62,6 +62,13 @@ class Renderer:
             use_env = True
         self.scene = scene
 
+        # camera carried by the scene file (PBRT import, tracer.cpp:887-896)
+        if scene.camera_override is not None:
+            co = scene.camera_override
+            c = self.settings.camera
+            c.pos, c.dir, c.up, c.right = co.pos, co.dir, co.up, co.right
+            c.fov = co.fov
+
         bvh = self._init_hierarchy(scene)
         self.world_radius = scene.world_radius()
 

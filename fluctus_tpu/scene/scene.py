@@ -109,6 +109,9 @@ class Scene:
         elif filename.endswith(".ply"):
             from .ply_loader import load_ply
             load_ply(filename, self, transform)
+        elif filename.endswith(".pbrt"):
+            from .pbrt_loader import load_pbrt
+            load_pbrt(filename, self, transform)
         elif filename.endswith(".sc.json"):
             self.load_scene_file(filename)
         else:
