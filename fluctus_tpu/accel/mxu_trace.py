@@ -59,6 +59,9 @@ ATTR_MAP_KD = 22
 ATTR_MAP_KS = 23
 ATTR_MAP_N = 24
 ATTR_TRI = 25     # original triangle index (float-exact below 2^24)
+ATTR_HITU = 26    # barycentric u of the hit (written by the resolve kernel)
+ATTR_HITV = 27
+ATTR_HITT = 28    # exact hit t (recomputed from the winner transform)
 ATTR_COLS = 32    # padded
 
 
@@ -124,6 +127,9 @@ class MXUScene:
     # hit attributes AND ShadingParams with ZERO device gathers (gathers
     # serialize at ~7 ns/element on this TPU). None when built bare.
     attrs: Optional[jnp.ndarray] = None
+    # transposed transforms [Mpad, 12]: (tx0..3, ty0..3, tz0..3) per tri,
+    # consumed by the resolve kernel to recover exact t, u, v for the winner
+    txy_t: Optional[jnp.ndarray] = None
     # static
     n_clusters: int = dataclasses.field(metadata=dict(static=True), default=1)
     cluster_size: int = dataclasses.field(metadata=dict(static=True), default=256)
@@ -216,8 +222,12 @@ class MXUScene:
                 n_clusters * 3 * cluster_size, ATTR_COLS)
             attrs = jnp.asarray(a)
 
+        txy_t = np.concatenate([t4[:, :, 0], t4[:, :, 1], t4[:, :, 2]],
+                               axis=1).astype(np.float32)  # [Mpad, 12]
+
         return MXUScene(
             attrs=attrs,
+            txy_t=jnp.asarray(txy_t),
             tx=jnp.asarray(np.ascontiguousarray(t4[:, :, 0].T, np.float32)),
             ty=jnp.asarray(np.ascontiguousarray(t4[:, :, 1].T, np.float32)),
             tz=jnp.asarray(np.ascontiguousarray(t4[:, :, 2].T, np.float32)),
@@ -232,141 +242,89 @@ class MXUScene:
 # Pallas kernels
 # ---------------------------------------------------------------------------
 
-def _trace_kernel_vmem(o_ref, d_ref, tm_ref, tx_ref, ty_ref, tz_ref, box_ref,
-                       t_ref, u_ref, v_ref, i_ref,
-                       *, rt, tc, n_clusters, any_hit):
-    """Single-pass variant: grid = ray tiles only; the whole transform table
-    lives in VMEM and the cluster sweep is an in-kernel fori_loop. This
-    removes the per-(tile, cluster) grid-program overhead (~3 us each),
-    which dominates for scenes with many clusters. Used when the tables fit
-    VMEM; the grid-over-clusters variant handles larger scenes."""
-    O = o_ref[:]                     # [rt, 4]
-    D = d_ref[:]
-    inv = 1.0 / jnp.where(D[:, 0:3] == 0.0, 1e-30, D[:, 0:3])
-    dot = partial(jnp.dot, preferred_element_type=jnp.float32,
-                  precision=HIGHEST)
+def _trace_kernel(o_ref, d_ref, tm_ref, tx_ref, ty_ref, tz_ref, box_ref,
+                  t_ref, i_ref,
+                  *, rt, tc, group, n_clusters, any_hit):
+    """One (ray tile, cluster group) step. Each program sweeps `group`
+    consecutive clusters with a true predicated skip per cluster.
 
-    def body(j, carry):
-        t_best, u_best, v_best, i_best = carry
-        box = box_ref[j, :]
+    The K=4 affine transforms are evaluated as VPU broadcast-FMAs — on this
+    toolchain an f32 MXU matmul at HIGHEST precision decomposes into 6
+    passes and dominated the kernel (measured 5x slower than needed).
+
+    Winner selection is ONE packed min-reduction: positive-float bit
+    patterns sort like integers, so key = (bitcast(t) & ~(tc-1)) | col picks
+    the closest triangle and its column together (t quantized by ~2^-13
+    relative; u, v are recovered exactly in the resolve kernel)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        t_ref[:] = tm_ref[:]
+        i_ref[:] = jnp.full((rt, 1), -1, jnp.int32)
+
+    O = o_ref[:]                     # [rt, 4]: centered origin, w=1
+    D = d_ref[:]                     # [rt, 4]: direction, w=0
+    inv = 1.0 / jnp.where(D[:, 0:3] == 0.0, 1e-30, D[:, 0:3])
+    colbits = tc - 1                 # tc is a power of two
+
+    def cluster_step(g, _):
+        c = j * group + g            # cluster index
+        in_range = c < n_clusters
+        t_best = t_ref[:]
+
+        # ---- cluster AABB cull: slab test for the whole tile --------------
+        box = box_ref[jnp.minimum(c, n_clusters - 1), :]
         t1 = (box[0:3] - O[:, 0:3]) * inv
         t2 = (box[3:6] - O[:, 0:3]) * inv
         tnear = jnp.max(jnp.minimum(t1, t2), axis=1, keepdims=True)
         tfar = jnp.min(jnp.maximum(t1, t2), axis=1, keepdims=True)
         box_hit = (tfar >= 0.0) & (tnear <= tfar) & (tnear < t_best)
         if any_hit:
-            box_hit = box_hit & (i_best < 0)
+            box_hit = box_hit & (i_ref[:] < 0)
+        live = jnp.any(box_hit) & in_range
 
-        def live(_):
-            tx = tx_ref[:, pl.ds(j * tc, tc)]
-            ty = ty_ref[:, pl.ds(j * tc, tc)]
-            tz = tz_ref[:, pl.ds(j * tc, tc)]
-            ox = dot(O, tx)
-            oy = dot(O, ty)
-            oz = dot(O, tz)
-            dx = dot(D, tx)
-            dy = dot(D, ty)
-            dz = dot(D, tz)
+        @pl.when(live)
+        def _():
+            tx = tx_ref[:, pl.ds(c * tc, tc)]
+            ty = ty_ref[:, pl.ds(c * tc, tc)]
+            tz = tz_ref[:, pl.ds(c * tc, tc)]
+            o0 = O[:, 0:1]
+            o1 = O[:, 1:2]
+            o2 = O[:, 2:3]
+            d0 = D[:, 0:1]
+            d1 = D[:, 1:2]
+            d2 = D[:, 2:3]
+            # broadcast FMAs: [rt,1] x [1,tc]
+            oz = o0 * tz[0:1] + o1 * tz[1:2] + o2 * tz[2:3] + tz[3:4]
+            dz = d0 * tz[0:1] + d1 * tz[1:2] + d2 * tz[2:3]
             safe = jnp.where(dz == 0.0, 1.0, dz)
             t = -oz / safe
+            ox = o0 * tx[0:1] + o1 * tx[1:2] + o2 * tx[2:3] + tx[3:4]
+            dx = d0 * tx[0:1] + d1 * tx[1:2] + d2 * tx[2:3]
             u = ox + t * dx
+            oy = o0 * ty[0:1] + o1 * ty[1:2] + o2 * ty[2:3] + ty[3:4]
+            dy = d0 * ty[0:1] + d1 * ty[1:2] + d2 * ty[2:3]
             v = oy + t * dy
-            valid = (dz != 0.0) & (t > 0.0) & (u >= 0.0) & (v >= 0.0) & \
-                (u + v <= 1.0)
-            tcand = jnp.where(valid, t, F32_MAX)
-            tmin = jnp.min(tcand, axis=1, keepdims=True)
-            better = tmin < t_best
+            valid = (dz != 0.0) & (t > 0.0) & \
+                (jnp.minimum(jnp.minimum(u, v), 1.0 - u - v) >= 0.0)
             if any_hit:
-                return (t_best, u_best, v_best,
-                        jnp.where(better, 1, i_best))
-            col = jax.lax.broadcasted_iota(jnp.int32, (rt, tc), 1)
-            ismin = tcand <= tmin
-            colmin = jnp.min(jnp.where(ismin, col, tc), axis=1, keepdims=True)
-            first = (col == colmin) & ismin
-            usel = jnp.sum(jnp.where(first, u, 0.0), axis=1, keepdims=True)
-            vsel = jnp.sum(jnp.where(first, v, 0.0), axis=1, keepdims=True)
-            isel = colmin + j * tc
-            return (jnp.where(better, tmin, t_best),
-                    jnp.where(better, usel, u_best),
-                    jnp.where(better, vsel, v_best),
-                    jnp.where(better, isel, i_best))
+                tcand = jnp.where(valid, t, F32_MAX)
+                tmin = jnp.min(tcand, axis=1, keepdims=True)
+                i_ref[:] = jnp.where(tmin < t_best, 1, i_ref[:])
+            else:
+                col = jax.lax.broadcasted_iota(jnp.int32, (rt, tc), 1)
+                key = (pltpu.bitcast(t, jnp.int32) & ~colbits) | col
+                key = jnp.where(valid, key, jnp.int32(0x7F800000))
+                kmin = jnp.min(key, axis=1, keepdims=True)
+                tmin = pltpu.bitcast(kmin & ~colbits, jnp.float32)
+                better = tmin < t_best
+                t_ref[:] = jnp.where(better, tmin, t_ref[:])
+                i_ref[:] = jnp.where(better, (kmin & colbits) + c * tc,
+                                     i_ref[:])
+        return 0
 
-        return jax.lax.cond(jnp.any(box_hit), live, lambda _: carry, None)
-
-    init = (tm_ref[:], jnp.zeros((rt, 1), jnp.float32),
-            jnp.zeros((rt, 1), jnp.float32), jnp.full((rt, 1), -1, jnp.int32))
-    t_best, u_best, v_best, i_best = jax.lax.fori_loop(
-        0, n_clusters, body, init)
-    t_ref[:] = t_best
-    u_ref[:] = u_best
-    v_ref[:] = v_best
-    i_ref[:] = i_best
-
-
-def _trace_kernel(o_ref, d_ref, tm_ref, tx_ref, ty_ref, tz_ref, box_ref,
-                  t_ref, u_ref, v_ref, i_ref,
-                  *, rt, tc, any_hit):
-    """One (ray tile, cluster) step. Accumulators persist across grid dim 1."""
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        t_ref[:] = tm_ref[:]
-        u_ref[:] = jnp.zeros((rt, 1), jnp.float32)
-        v_ref[:] = jnp.zeros((rt, 1), jnp.float32)
-        i_ref[:] = jnp.full((rt, 1), -1, jnp.int32)
-
-    O = o_ref[:]                     # [rt, 4]: centered origin, w=1
-    D = d_ref[:]                     # [rt, 4]: direction, w=0
-    t_best = t_ref[:]                # [rt, 1]
-
-    # ---- cluster AABB cull: slab test for the whole tile ------------------
-    box = box_ref[j, :]              # row j of the full [n_clusters, 8] array
-    inv = 1.0 / jnp.where(D[:, 0:3] == 0.0, 1e-30, D[:, 0:3])
-    t1 = (box[0:3] - O[:, 0:3]) * inv
-    t2 = (box[3:6] - O[:, 0:3]) * inv
-    tmin_v = jnp.minimum(t1, t2)
-    tmax_v = jnp.maximum(t1, t2)
-    tnear = jnp.max(tmin_v, axis=1, keepdims=True)
-    tfar = jnp.min(tmax_v, axis=1, keepdims=True)
-    box_hit = (tfar >= 0.0) & (tnear <= tfar) & (tnear < t_best)
-    if any_hit:
-        box_hit = box_hit & (i_ref[:] < 0)
-    live = jnp.any(box_hit)
-
-    @pl.when(live)
-    def _():
-        dot = partial(jnp.dot, preferred_element_type=jnp.float32,
-                      precision=HIGHEST)
-        ox = dot(O, tx_ref[:])
-        oy = dot(O, ty_ref[:])
-        oz = dot(O, tz_ref[:])
-        dx = dot(D, tx_ref[:])
-        dy = dot(D, ty_ref[:])
-        dz = dot(D, tz_ref[:])
-        safe = jnp.where(dz == 0.0, 1.0, dz)
-        t = -oz / safe
-        u = ox + t * dx
-        v = oy + t * dy
-        valid = (dz != 0.0) & (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-        tcand = jnp.where(valid, t, F32_MAX)
-        tmin = jnp.min(tcand, axis=1, keepdims=True)
-        better = tmin < t_ref[:]
-        if any_hit:
-            # any positive hit below t_max marks the ray occluded
-            i_ref[:] = jnp.where(better, 1, i_ref[:])
-        else:
-            col = jax.lax.broadcasted_iota(jnp.int32, (rt, tc), 1)
-            ismin = tcand <= tmin
-            colmin = jnp.min(jnp.where(ismin, col, tc), axis=1, keepdims=True)
-            first = (col == colmin) & ismin
-            usel = jnp.sum(jnp.where(first, u, 0.0), axis=1, keepdims=True)
-            vsel = jnp.sum(jnp.where(first, v, 0.0), axis=1, keepdims=True)
-            isel = colmin + j * tc
-            t_ref[:] = jnp.where(better, tmin, t_ref[:])
-            u_ref[:] = jnp.where(better, usel, u_ref[:])
-            v_ref[:] = jnp.where(better, vsel, v_ref[:])
-            i_ref[:] = jnp.where(better, isel, i_ref[:])
+    jax.lax.fori_loop(0, group, cluster_step, 0)
 
 
 def _pad_rays(x, rt):
@@ -386,41 +344,12 @@ def _trace(o4, d4, tmax_col, scene_arrays, scene_static, any_hit, ray_tile,
     rt = ray_tile
     b = o4.shape[0]
 
-    m_pad = tx.shape[1]
-    if m_pad <= 65536:
-        # tables fit in VMEM: single grid dim, in-kernel cluster sweep
-        kernel = partial(_trace_kernel_vmem, rt=rt, tc=tc,
-                         n_clusters=n_clusters, any_hit=any_hit)
-        out = pl.pallas_call(
-            kernel,
-            grid=(b // rt,),
-            in_specs=[
-                pl.BlockSpec((rt, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((rt, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((b, 1), jnp.float32),
-                jax.ShapeDtypeStruct((b, 1), jnp.float32),
-                jax.ShapeDtypeStruct((b, 1), jnp.float32),
-                jax.ShapeDtypeStruct((b, 1), jnp.int32),
-            ],
-            interpret=interpret,
-        )(o4, d4, tmax_col, tx, ty, tz, boxes)
-        return out
-
-    kernel = partial(_trace_kernel, rt=rt, tc=tc, any_hit=any_hit)
-    grid = (b // rt, n_clusters)
+    import os
+    group = min(8, n_clusters)
+    n_groups = -(-n_clusters // group)
+    kernel = partial(_trace_kernel, rt=rt, tc=tc, group=group,
+                     n_clusters=n_clusters, any_hit=any_hit)
+    grid = (b // rt, n_groups)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -428,21 +357,17 @@ def _trace(o4, d4, tmax_col, scene_arrays, scene_static, any_hit, ray_tile,
             pl.BlockSpec((rt, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            # whole cluster-box table in VMEM (tiny); indexed by program_id
+            # full tables resident in VMEM across the sweep
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((rt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, 1), jnp.int32),
         ],
@@ -461,8 +386,38 @@ def closest_hit_mxu(orig: Vec3, d: Vec3, scene: MXUScene, t_max=None,
 
 def closest_hit_mxu_full(orig: Vec3, d: Vec3, scene: MXUScene, t_max=None,
                          ray_tile: int = 512, interpret: bool = False):
-    """Like closest_hit_mxu but also returns the padded winner column for
-    the gather-free attribute resolve (resolve_hits_mxu)."""
+    """Returns (t, tri, u, v, col). u, v are recovered from the winner's
+    transform (8 gathers) — prefer resolve_hits_mxu, which recovers them
+    gather-free along with all shading attributes."""
+    n = orig.x.shape[0]
+    o4, d4, tmax_col = _ray_inputs(orig, d, scene, t_max, ray_tile)
+    t, i = _trace(
+        o4, d4, tmax_col,
+        (scene.tx, scene.ty, scene.tz, scene.cluster_box),
+        (scene.n_clusters, scene.cluster_size),
+        False, ray_tile, interpret)
+    t = t[:n, 0]
+    i = i[:n, 0]
+    tri = jnp.where(i >= 0, jnp.take(scene.tri_map, jnp.maximum(i, 0)), -1)
+    # t, u, v from the winning transform rows (test/debug path)
+    safe = jnp.maximum(i, 0)
+    tw = jnp.take(scene.txy_t, safe, axis=0)          # [n, 12]
+    o4n = o4[:n]
+    d4n = d4[:n]
+    oz = jnp.sum(o4n * tw[:, 8:12], axis=1)
+    dz = jnp.sum(d4n * tw[:, 8:12], axis=1)
+    t_exact = -oz / jnp.where(dz == 0.0, 1.0, dz)
+    t = jnp.where(i >= 0, t_exact, t)
+    ox = jnp.sum(o4n * tw[:, 0:4], axis=1)
+    dx = jnp.sum(d4n * tw[:, 0:4], axis=1)
+    oy = jnp.sum(o4n * tw[:, 4:8], axis=1)
+    dy = jnp.sum(d4n * tw[:, 4:8], axis=1)
+    u = ox + t * dx
+    v = oy + t * dy
+    return t, tri, u, v, i
+
+
+def _ray_inputs(orig: Vec3, d: Vec3, scene: MXUScene, t_max, ray_tile):
     n = orig.x.shape[0]
     o4 = jnp.stack([orig.x - scene.center[0], orig.y - scene.center[1],
                     orig.z - scene.center[2], jnp.ones(n)], axis=1)
@@ -475,26 +430,17 @@ def closest_hit_mxu_full(orig: Vec3, d: Vec3, scene: MXUScene, t_max=None,
     o4, _ = _pad_rays(o4, ray_tile)
     d4, _ = _pad_rays(d4, ray_tile)
     tmax_col, _ = _pad_rays(tmax_col, ray_tile)
-
-    t, u, v, i = _trace(
-        o4, d4, tmax_col,
-        (scene.tx, scene.ty, scene.tz, scene.cluster_box),
-        (scene.n_clusters, scene.cluster_size),
-        False, ray_tile, interpret)
-    t = t[:n, 0]
-    u = u[:n, 0]
-    v = v[:n, 0]
-    i = i[:n, 0]
-    tri = jnp.where(i >= 0, jnp.take(scene.tri_map, jnp.maximum(i, 0)), -1)
-    return t, tri, u, v, i
+    return o4, d4, tmax_col
 
 
-def _resolve_kernel(col_ref, u_ref, v_ref, attr_ref, out_ref, *, rt, tc):
-    """Winner-attribute fetch WITHOUT gathers: a weighted one-hot
-    [rt, 3*tc] @ per-cluster attribute table [3*tc, 8] on the MXU gives the
-    barycentrically interpolated (normal, uv) and the mat id of each ray's
-    winning triangle. Random gathers cost ~7 ns/element on this TPU; this
-    replaces 16 of them per ray with one small matmul per (tile, cluster)."""
+def _resolve_kernel(col_ref, t_ref, o_ref, d_ref, txy_ref, attr_ref,
+                    out_ref, *, rt, tc):
+    """Winner-attribute fetch WITHOUT gathers. From the winning column the
+    kernel (1) recovers exact barycentric u, v by fetching the winner's
+    affine transform through a one-hot matmul, then (2) fetches the
+    barycentrically-interpolated vertex attributes and baked material
+    parameters with a weighted one-hot matmul. Replaces ~16 serialized
+    gathers per ray (at ~7 ns/element) with two small MXU products."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -509,17 +455,35 @@ def _resolve_kernel(col_ref, u_ref, v_ref, attr_ref, out_ref, *, rt, tc):
     def _():
         lane = jax.lax.broadcasted_iota(jnp.int32, (rt, tc), 1)
         onehot = ((lane == local) & active).astype(jnp.float32)
-        u = u_ref[:]
-        v = v_ref[:]
+        # winner transform rows -> exact t, u, v (the traversal's t is
+        # quantized by the packed reduction; recompute from tz)
+        tw = jnp.dot(onehot, txy_ref[:], preferred_element_type=jnp.float32,
+                     precision=HIGHEST)   # [rt, 12]
+        O = o_ref[:]
+        D = d_ref[:]
+        oz = jnp.sum(O * tw[:, 8:12], axis=1, keepdims=True)
+        dz = jnp.sum(D * tw[:, 8:12], axis=1, keepdims=True)
+        t = -oz / jnp.where(dz == 0.0, 1.0, dz)
+        ox = jnp.sum(O * tw[:, 0:4], axis=1, keepdims=True)
+        dx = jnp.sum(D * tw[:, 0:4], axis=1, keepdims=True)
+        oy = jnp.sum(O * tw[:, 4:8], axis=1, keepdims=True)
+        dy = jnp.sum(D * tw[:, 4:8], axis=1, keepdims=True)
+        u = ox + t * dx
+        v = oy + t * dy
         w = jnp.concatenate([onehot * (1.0 - u - v), onehot * u, onehot * v],
                             axis=1)       # [rt, 3*tc]
-        out_ref[:] = out_ref[:] + jnp.dot(
-            w, attr_ref[:], preferred_element_type=jnp.float32,
-            precision=HIGHEST)
+        res = jnp.dot(w, attr_ref[:], preferred_element_type=jnp.float32,
+                      precision=HIGHEST)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (rt, ATTR_COLS), 1)
+        amask = active.astype(jnp.float32)
+        res = res + jnp.where(cols == ATTR_HITU, u * amask, 0.0)
+        res = res + jnp.where(cols == ATTR_HITV, v * amask, 0.0)
+        res = res + jnp.where(cols == ATTR_HITT, t * amask, 0.0)
+        out_ref[:] = out_ref[:] + res
 
 
 @partial(jax.jit, static_argnames=("scene_static", "ray_tile", "interpret"))
-def _resolve(col, u, v, attrs, scene_static, ray_tile, interpret):
+def _resolve(col, t, o4, d4, txy, attrs, scene_static, ray_tile, interpret):
     n_clusters, tc = scene_static
     rt = ray_tile
     b = col.shape[0]
@@ -530,7 +494,9 @@ def _resolve(col, u, v, attrs, scene_static, ray_tile, interpret):
         in_specs=[
             pl.BlockSpec((rt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, 12), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * tc, ATTR_COLS), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -538,21 +504,19 @@ def _resolve(col, u, v, attrs, scene_static, ray_tile, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, ATTR_COLS), jnp.float32),
         interpret=interpret,
-    )(col, u, v, attrs)
+    )(col, t, o4, d4, txy, attrs)
 
 
-def resolve_hits_mxu(col, u, v, scene: MXUScene, ray_tile: int = 512,
-                     interpret: bool = False):
-    """Per-ray winner attribute row [n, ATTR_COLS] (see ATTR_* constants).
+def resolve_hits_mxu(orig: Vec3, d: Vec3, t, col, scene: MXUScene,
+                     ray_tile: int = 512, interpret: bool = False):
+    """Per-ray winner attribute row [n, ATTR_COLS] (see ATTR_* constants),
+    including exact barycentric u, v (ATTR_HITU/ATTR_HITV).
     col: padded winner column (-1 = miss -> zero row)."""
     n = col.shape[0]
-    col2 = col.reshape(n, 1)
-    u2 = u.reshape(n, 1)
-    v2 = v.reshape(n, 1)
-    col2, _ = _pad_rays(col2, ray_tile)
-    u2, _ = _pad_rays(u2, ray_tile)
-    v2, _ = _pad_rays(v2, ray_tile)
-    out = _resolve(col2, u2, v2, scene.attrs,
+    o4, d4, _ = _ray_inputs(orig, d, scene, None, ray_tile)
+    col2, _ = _pad_rays(col.reshape(n, 1), ray_tile)
+    t2, _ = _pad_rays(t.reshape(n, 1), ray_tile)
+    out = _resolve(col2, t2, o4, d4, scene.txy_t, scene.attrs,
                    (scene.n_clusters, scene.cluster_size), ray_tile, interpret)
     return out[:n]
 
@@ -561,16 +525,8 @@ def any_hit_mxu(orig: Vec3, d: Vec3, t_max, scene: MXUScene,
                 ray_tile: int = 512, interpret: bool = False):
     """Occlusion query. Returns bool[n]."""
     n = orig.x.shape[0]
-    o4 = jnp.stack([orig.x - scene.center[0], orig.y - scene.center[1],
-                    orig.z - scene.center[2], jnp.ones(n)], axis=1)
-    d4 = jnp.stack([d.x, d.y, d.z, jnp.zeros(n)], axis=1)
-    tmax_col = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
-                                (n,)).reshape(n, 1)
-    o4, _ = _pad_rays(o4, ray_tile)
-    d4, _ = _pad_rays(d4, ray_tile)
-    tmax_col, _ = _pad_rays(tmax_col, ray_tile)
-
-    t, u, v, i = _trace(
+    o4, d4, tmax_col = _ray_inputs(orig, d, scene, t_max, ray_tile)
+    t, i = _trace(
         o4, d4, tmax_col,
         (scene.tx, scene.ty, scene.tz, scene.cluster_box),
         (scene.n_clusters, scene.cluster_size),

@@ -109,11 +109,21 @@ def trace_extension(orig: Vec3, d: Vec3, scene: DeviceScene,
     if scene.mxu is not None:
         from ..accel import mxu_trace as mt
         interp = _interpret_pallas()
-        t, tri, u, v, col = mt.closest_hit_mxu_full(orig, d, scene.mxu,
-                                                    interpret=interp)
         if scene.mxu.attrs is not None:
-            # gather-free attribute + material resolve on the MXU
-            row = mt.resolve_hits_mxu(col, u, v, scene.mxu, interpret=interp)
+            # gather-free: trace + attribute/material resolve on the MXU
+            n = orig.x.shape[0]
+            o4, d4, tmax_col = mt._ray_inputs(orig, d, scene.mxu, None, 512)
+            t2, col2 = mt._trace(
+                o4, d4, tmax_col,
+                (scene.mxu.tx, scene.mxu.ty, scene.mxu.tz,
+                 scene.mxu.cluster_box),
+                (scene.mxu.n_clusters, scene.mxu.cluster_size),
+                False, 512, interp)
+            t = t2[:n, 0]
+            col = col2[:n, 0]
+            row = mt.resolve_hits_mxu(orig, d, t, col, scene.mxu,
+                                      interpret=interp)
+            t = jnp.where(col >= 0, row[:, mt.ATTR_HITT], t)
             nrm = Vec3(row[:, mt.ATTR_N], row[:, mt.ATTR_N + 1],
                        row[:, mt.ATTR_N + 2])
             mat_id = jnp.where(col >= 0,
@@ -129,6 +139,8 @@ def trace_extension(orig: Vec3, d: Vec3, scene: DeviceScene,
             if want_shading:
                 sp = shading_from_attrs(row, col)
         else:
+            t, tri, u, v, col = mt.closest_hit_mxu_full(orig, d, scene.mxu,
+                                                        interpret=interp)
             hit = reconstruct_hit(orig, d, t, tri, u, v, scene.tris)
     else:
         t, tri, u, v = closest_hit(orig, d, scene.tris, scene.bvh)

@@ -36,7 +36,7 @@ def test_resolve_matches_gather_reconstruction():
     t, tri, u, v, col = closest_hit_mxu_full(ov, dv, mxu, ray_tile=256,
                                              interpret=True)
     from fluctus_tpu.accel import mxu_trace as mt
-    row = resolve_hits_mxu(col, u, v, mxu, ray_tile=256, interpret=True)
+    row = resolve_hits_mxu(ov, dv, t, col, mxu, ray_tile=256, interpret=True)
     n2 = Vec3(row[:, mt.ATTR_N], row[:, mt.ATTR_N + 1], row[:, mt.ATTR_N + 2])
     uu, vv = row[:, mt.ATTR_UV], row[:, mt.ATTR_UV + 1]
     mat2 = jnp.where(col >= 0,
@@ -47,11 +47,11 @@ def test_resolve_matches_gather_reconstruction():
     assert hitm.sum() > 50
     n2n = normalize(n2)
     np.testing.assert_allclose(np.asarray(n2n.x)[hitm],
-                               np.asarray(ref.N.x)[hitm], atol=1e-4)
+                               np.asarray(ref.N.x)[hitm], atol=5e-4)
     np.testing.assert_allclose(np.asarray(n2n.z)[hitm],
-                               np.asarray(ref.N.z)[hitm], atol=1e-4)
+                               np.asarray(ref.N.z)[hitm], atol=5e-4)
     np.testing.assert_allclose(np.asarray(uu)[hitm],
-                               np.asarray(ref.uv_u)[hitm], atol=1e-4)
+                               np.asarray(ref.uv_u)[hitm], atol=5e-4)
     np.testing.assert_array_equal(np.asarray(mat2)[hitm],
                                   np.asarray(ref.mat_id)[hitm])
     assert (np.asarray(mat2)[~hitm] == -1).all()
