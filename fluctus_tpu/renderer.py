@@ -119,7 +119,13 @@ class Renderer:
             return bvh
         t0 = time.time()
         p, _, _, _ = scene.triangle_arrays()
-        bvh = build_bvh(p, mode=SplitMode.SAH)
+        bvh = None
+        if p.shape[0] > 20000:
+            # large scenes: the native C++ SAH builder (same algorithm)
+            from .native import build_bvh_native
+            bvh = build_bvh_native(p)
+        if bvh is None:
+            bvh = build_bvh(p, mode=SplitMode.SAH)
         print(f"BVH built: {bvh.num_nodes} nodes, depth {bvh.depth()} "
               f"({time.time()-t0:.2f}s)")
         if scene.hash:
