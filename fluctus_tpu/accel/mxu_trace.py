@@ -243,7 +243,7 @@ class MXUScene:
 # ---------------------------------------------------------------------------
 
 def _trace_kernel(o_ref, d_ref, tm_ref, tx_ref, ty_ref, tz_ref, box_ref,
-                  t_ref, i_ref,
+                  order_ref, t_ref, i_ref,
                   *, rt, tc, group, n_clusters, any_hit):
     """One (ray tile, cluster group) step. Each program sweeps `group`
     consecutive clusters with a true predicated skip per cluster.
@@ -257,6 +257,7 @@ def _trace_kernel(o_ref, d_ref, tm_ref, tx_ref, ty_ref, tz_ref, box_ref,
     the closest triangle and its column together (t quantized by ~2^-13
     relative; u, v are recovered exactly in the resolve kernel)."""
     j = pl.program_id(1)
+    order_base = pl.program_id(0) * n_clusters
 
     @pl.when(j == 0)
     def _():
@@ -269,8 +270,11 @@ def _trace_kernel(o_ref, d_ref, tm_ref, tx_ref, ty_ref, tz_ref, box_ref,
     colbits = tc - 1                 # tc is a power of two
 
     def cluster_step(g, _):
-        c = j * group + g            # cluster index
-        in_range = c < n_clusters
+        # sweep clusters front-to-back (per-tile order precomputed per
+        # dispatch) so tnear < t_best prunes everything behind the hits
+        slot = j * group + g
+        c = order_ref[order_base + jnp.minimum(slot, n_clusters - 1), 0]
+        in_range = slot < n_clusters
         t_best = t_ref[:]
 
         # ---- cluster AABB cull: slab test for the whole tile --------------
@@ -344,6 +348,16 @@ def _trace(o4, d4, tmax_col, scene_arrays, scene_static, any_hit, ray_tile,
     rt = ray_tile
     b = o4.shape[0]
 
+    # per-tile front-to-back cluster order: distance from each ray tile's
+    # mean origin to the cluster centers. Origins stay spatially coherent
+    # across bounces (paths born in the same pixel window), so the
+    # tnear < t_best prune fires early even for incoherent directions.
+    n_tiles = b // rt
+    tile_o = jnp.mean(o4[:, 0:3].reshape(n_tiles, rt, 3), axis=1)
+    centers = 0.5 * (boxes[:, 0:3] + boxes[:, 3:6])
+    dist = jnp.sum((centers[None, :, :] - tile_o[:, None, :]) ** 2, axis=2)
+    order = jnp.argsort(dist, axis=1).astype(jnp.int32).reshape(-1, 1)
+
     import os
     group = min(8, n_clusters)
     n_groups = -(-n_clusters // group)
@@ -362,6 +376,7 @@ def _trace(o4, d4, tmax_col, scene_arrays, scene_static, any_hit, ray_tile,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((rt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -372,7 +387,7 @@ def _trace(o4, d4, tmax_col, scene_arrays, scene_static, any_hit, ray_tile,
             jax.ShapeDtypeStruct((b, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(o4, d4, tmax_col, tx, ty, tz, boxes)
+    )(o4, d4, tmax_col, tx, ty, tz, boxes, order)
     return out
 
 
