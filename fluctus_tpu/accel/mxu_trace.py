@@ -257,7 +257,7 @@ def _trace_kernel(o_ref, d_ref, tm_ref, tx_ref, ty_ref, tz_ref, box_ref,
     the closest triangle and its column together (t quantized by ~2^-13
     relative; u, v are recovered exactly in the resolve kernel)."""
     j = pl.program_id(1)
-    order_base = pl.program_id(0) * n_clusters
+    order_base = pl.program_id(0)
 
     @pl.when(j == 0)
     def _():
@@ -273,7 +273,7 @@ def _trace_kernel(o_ref, d_ref, tm_ref, tx_ref, ty_ref, tz_ref, box_ref,
         # sweep clusters front-to-back (per-tile order precomputed per
         # dispatch) so tnear < t_best prunes everything behind the hits
         slot = j * group + g
-        c = order_ref[order_base + jnp.minimum(slot, n_clusters - 1), 0]
+        c = order_ref[order_base, jnp.minimum(slot, n_clusters - 1)]
         in_range = slot < n_clusters
         t_best = t_ref[:]
 
@@ -356,7 +356,10 @@ def _trace(o4, d4, tmax_col, scene_arrays, scene_static, any_hit, ray_tile,
     tile_o = jnp.mean(o4[:, 0:3].reshape(n_tiles, rt, 3), axis=1)
     centers = 0.5 * (boxes[:, 0:3] + boxes[:, 3:6])
     dist = jnp.sum((centers[None, :, :] - tile_o[:, None, :]) ** 2, axis=2)
-    order = jnp.argsort(dist, axis=1).astype(jnp.int32).reshape(-1, 1)
+    order = jnp.argsort(dist, axis=1).astype(jnp.int32)   # [n_tiles, NC]
+    pad = (-order.shape[1]) % 128        # lane-align the VMEM block
+    if pad:
+        order = jnp.pad(order, ((0, 0), (0, pad)))
 
     import os
     group = min(8, n_clusters)
