@@ -257,7 +257,6 @@ def _trace_kernel(o_ref, d_ref, tm_ref, tx_ref, ty_ref, tz_ref, box_ref,
     the closest triangle and its column together (t quantized by ~2^-13
     relative; u, v are recovered exactly in the resolve kernel)."""
     j = pl.program_id(1)
-    order_base = pl.program_id(0)
 
     @pl.when(j == 0)
     def _():
@@ -273,7 +272,7 @@ def _trace_kernel(o_ref, d_ref, tm_ref, tx_ref, ty_ref, tz_ref, box_ref,
         # sweep clusters front-to-back (per-tile order precomputed per
         # dispatch) so tnear < t_best prunes everything behind the hits
         slot = j * group + g
-        c = order_ref[order_base, jnp.minimum(slot, n_clusters - 1)]
+        c = order_ref[jnp.minimum(slot, n_clusters - 1), 0]
         in_range = slot < n_clusters
         t_best = t_ref[:]
 
@@ -290,9 +289,10 @@ def _trace_kernel(o_ref, d_ref, tm_ref, tx_ref, ty_ref, tz_ref, box_ref,
 
         @pl.when(live)
         def _():
-            tx = tx_ref[:, pl.ds(c * tc, tc)]
-            ty = ty_ref[:, pl.ds(c * tc, tc)]
-            tz = tz_ref[:, pl.ds(c * tc, tc)]
+            off = pl.multiple_of(c * tc, 128)
+            tx = tx_ref[:, pl.ds(off, tc)]
+            ty = ty_ref[:, pl.ds(off, tc)]
+            tz = tz_ref[:, pl.ds(off, tc)]
             o0 = O[:, 0:1]
             o1 = O[:, 1:2]
             o2 = O[:, 2:3]
@@ -348,18 +348,15 @@ def _trace(o4, d4, tmax_col, scene_arrays, scene_static, any_hit, ray_tile,
     rt = ray_tile
     b = o4.shape[0]
 
-    # per-tile front-to-back cluster order: distance from each ray tile's
-    # mean origin to the cluster centers. Origins stay spatially coherent
-    # across bounces (paths born in the same pixel window), so the
-    # tnear < t_best prune fires early even for incoherent directions.
-    n_tiles = b // rt
-    tile_o = jnp.mean(o4[:, 0:3].reshape(n_tiles, rt, 3), axis=1)
+    # front-to-back cluster order (shared across tiles: Mosaic only allows
+    # dynamic indexing on the sublane axis, so a per-tile order would need
+    # an unsupported dynamic lane read). Distance from the batch's mean ray
+    # origin to the cluster centers; the per-ray tnear < t_best test then
+    # prunes clusters behind the first hits.
+    mean_o = jnp.mean(o4[:, 0:3], axis=0)
     centers = 0.5 * (boxes[:, 0:3] + boxes[:, 3:6])
-    dist = jnp.sum((centers[None, :, :] - tile_o[:, None, :]) ** 2, axis=2)
-    order = jnp.argsort(dist, axis=1).astype(jnp.int32)   # [n_tiles, NC]
-    pad = (-order.shape[1]) % 128        # lane-align the VMEM block
-    if pad:
-        order = jnp.pad(order, ((0, 0), (0, pad)))
+    dist = jnp.sum((centers - mean_o[None, :]) ** 2, axis=1)
+    order = jnp.argsort(dist).astype(jnp.int32).reshape(-1, 1)
 
     import os
     group = min(8, n_clusters)
