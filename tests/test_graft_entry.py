@@ -11,8 +11,8 @@ def test_entry_compiles():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
-    film, seed, stats = out
-    assert int(stats.samples) > 0
+    state, counters = out
+    assert int(counters.extension) > 0
 
 
 def test_dryrun_multichip():
