@@ -68,12 +68,15 @@ def apply_textures(sp: ShadingParams, uv_u, uv_v, atlas) -> ShadingParams:
     actual texels are fetched). No-op for untextured scenes."""
     if getattr(atlas, "count", 0) == 0:
         return sp
-    kd = mat_get_albedo(Vec3.zeros(sp.alpha.shape), uv_u, uv_v, sp.map_Kd,
-                        atlas)
-    ks = mat_get_float3(Vec3.zeros(sp.alpha.shape), uv_u, uv_v, sp.map_Ks,
-                        atlas)
-    return sp._replace(Kd=vwhere(sp.map_Kd >= 0, kd, sp.Kd),
-                       Ks=vwhere(sp.map_Ks >= 0, ks, sp.Ks))
+    if getattr(atlas, "has_kd", True):
+        kd = mat_get_albedo(Vec3.zeros(sp.alpha.shape), uv_u, uv_v,
+                            sp.map_Kd, atlas)
+        sp = sp._replace(Kd=vwhere(sp.map_Kd >= 0, kd, sp.Kd))
+    if getattr(atlas, "has_ks", True):
+        ks = mat_get_float3(Vec3.zeros(sp.alpha.shape), uv_u, uv_v,
+                            sp.map_Ks, atlas)
+        sp = sp._replace(Ks=vwhere(sp.map_Ks >= 0, ks, sp.Ks))
+    return sp
 
 
 def _sel(t, *types):

@@ -182,8 +182,8 @@ def trace_shadow(orig: Vec3, d: Vec3, max_len, scene: DeviceScene,
 def tangent_space_normal(hit: Hit, tris: TrianglesDevice,
                          mats_mapn, atlas) -> Vec3:
     """Normal mapping (utils.cl:174-207). mats_mapn: per-lane map_N idx.
-    Statically pruned when the scene has no textures."""
-    if getattr(atlas, "count", 0) == 0:
+    Statically pruned when the scene has no normal maps."""
+    if getattr(atlas, "count", 0) == 0 or not getattr(atlas, "has_n", True):
         return hit.N
     has_map = (mats_mapn >= 0) & (hit.i >= 0)
     default = Vec3.of(0.5, 0.5, 1.0)

@@ -139,7 +139,7 @@ class Scene:
         return materials_to_soa(self.materials)
 
     def device_textures(self):
-        return pack_atlas(self.textures)
+        return pack_atlas(self.textures).with_material_usage(self.materials)
 
     def scene_bounds(self):
         p, _, _, _ = self.triangle_arrays()

@@ -45,6 +45,20 @@ class TextureAtlas:
     width: "jax.Array"        # int32 [n_pad]
     height: "jax.Array"       # int32 [n_pad]
     count: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # which material slots actually reference textures — statically prunes
+    # the corresponding fetch paths (each masked gather still costs a full
+    # serialized pass on this TPU)
+    has_kd: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    has_ks: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    has_n: bool = dataclasses.field(metadata=dict(static=True), default=True)
+
+    def with_material_usage(self, materials) -> "TextureAtlas":
+        import dataclasses as dc
+        return dc.replace(
+            self,
+            has_kd=any(m.map_Kd >= 0 for m in materials),
+            has_ks=any(m.map_Ks >= 0 for m in materials),
+            has_n=any(m.map_N >= 0 for m in materials))
 
 
 _MIN_ROWS = 128

@@ -38,18 +38,21 @@ def fetch_texture(atlas: TextureAtlas, tex_idx, u, v) -> Vec3:
     return Vec3(r, g, b)
 
 
-def mat_get_float3(fallback: Vec3, u, v, tex_idx, atlas: TextureAtlas) -> Vec3:
+def mat_get_float3(fallback: Vec3, u, v, tex_idx, atlas: TextureAtlas,
+                   used: bool = True) -> Vec3:
     """utils.cl:168-171 — texture if bound, else constant. No gamma.
-    Statically pruned when the scene has no textures."""
-    if atlas.count == 0:
+    Statically pruned when the scene has no textures (or `used` is False:
+    no material references this map type)."""
+    if atlas.count == 0 or not used:
         return fallback
     tex = fetch_texture(atlas, tex_idx, u, v)
     return vwhere(tex_idx >= 0, tex, fallback)
 
 
-def mat_get_albedo(fallback: Vec3, u, v, tex_idx, atlas: TextureAtlas) -> Vec3:
+def mat_get_albedo(fallback: Vec3, u, v, tex_idx, atlas: TextureAtlas,
+                   used: bool = True) -> Vec3:
     """utils.cl:161-166 — like mat_get_float3 but gamma-linearized (^2.2),
     applied to the fallback as well (reference behavior)."""
-    val = mat_get_float3(fallback, u, v, tex_idx, atlas)
+    val = mat_get_float3(fallback, u, v, tex_idx, atlas, used)
     p = lambda c: jnp.power(jnp.maximum(c, 0.0), 2.2)
     return Vec3(p(val.x), p(val.y), p(val.z))
