@@ -395,6 +395,10 @@ def _trace(o4, d4, tmax_col, scene_arrays, scene_static, any_hit, ray_tile,
     return out
 
 
+import os as _os
+RAY_TILE = int(_os.environ.get("FLT_RAY_TILE", "512"))
+
+
 def closest_hit_mxu(orig: Vec3, d: Vec3, scene: MXUScene, t_max=None,
                     ray_tile: int = 512, interpret: bool = False):
     """Returns (t, tri_idx, u, v) like traverse.closest_hit."""
@@ -527,7 +531,8 @@ def _resolve(col, t, o4, d4, txy, attrs, scene_static, ray_tile, interpret):
 
 
 def resolve_hits_mxu(orig: Vec3, d: Vec3, t, col, scene: MXUScene,
-                     ray_tile: int = 512, interpret: bool = False):
+                     ray_tile: int = None, interpret: bool = False):
+    ray_tile = ray_tile or RAY_TILE
     """Per-ray winner attribute row [n, ATTR_COLS] (see ATTR_* constants),
     including exact barycentric u, v (ATTR_HITU/ATTR_HITV).
     col: padded winner column (-1 = miss -> zero row)."""
@@ -541,8 +546,9 @@ def resolve_hits_mxu(orig: Vec3, d: Vec3, t, col, scene: MXUScene,
 
 
 def any_hit_mxu(orig: Vec3, d: Vec3, t_max, scene: MXUScene,
-                ray_tile: int = 512, interpret: bool = False):
+                ray_tile: int = None, interpret: bool = False):
     """Occlusion query. Returns bool[n]."""
+    ray_tile = ray_tile or RAY_TILE
     n = orig.x.shape[0]
     o4, d4, tmax_col = _ray_inputs(orig, d, scene, t_max, ray_tile)
     t, i = _trace(

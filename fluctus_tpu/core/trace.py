@@ -112,13 +112,14 @@ def trace_extension(orig: Vec3, d: Vec3, scene: DeviceScene,
         if scene.mxu.attrs is not None:
             # gather-free: trace + attribute/material resolve on the MXU
             n = orig.x.shape[0]
-            o4, d4, tmax_col = mt._ray_inputs(orig, d, scene.mxu, None, 512)
+            rt = mt.RAY_TILE
+            o4, d4, tmax_col = mt._ray_inputs(orig, d, scene.mxu, None, rt)
             t2, col2 = mt._trace(
                 o4, d4, tmax_col,
                 (scene.mxu.tx, scene.mxu.ty, scene.mxu.tz,
                  scene.mxu.cluster_box),
                 (scene.mxu.n_clusters, scene.mxu.cluster_size),
-                False, 512, interp)
+                False, rt, interp)
             t = t2[:n, 0]
             col = col2[:n, 0]
             row = mt.resolve_hits_mxu(orig, d, t, col, scene.mxu,
