@@ -114,12 +114,16 @@ def trace_extension(orig: Vec3, d: Vec3, scene: DeviceScene,
             n = orig.x.shape[0]
             rt = mt.RAY_TILE
             o4, d4, tmax_col = mt._ray_inputs(orig, d, scene.mxu, None, rt)
-            t2, col2 = mt._trace(
-                o4, d4, tmax_col,
-                (scene.mxu.tx, scene.mxu.ty, scene.mxu.tz,
-                 scene.mxu.cluster_box),
-                (scene.mxu.n_clusters, scene.mxu.cluster_size),
-                False, rt, interp)
+            if mt.SORT_RAYS and not interp:
+                t2, col2 = mt._sorted_trace(o4, d4, tmax_col, scene.mxu,
+                                            False, rt, interp)
+            else:
+                t2, col2 = mt._trace(
+                    o4, d4, tmax_col,
+                    (scene.mxu.tx, scene.mxu.ty, scene.mxu.tz,
+                     scene.mxu.cluster_box),
+                    (scene.mxu.n_clusters, scene.mxu.cluster_size),
+                    False, rt, interp)
             t = t2[:n, 0]
             col = col2[:n, 0]
             row = mt.resolve_hits_mxu(orig, d, t, col, scene.mxu,

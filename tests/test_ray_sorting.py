@@ -1,0 +1,44 @@
+"""The sort-trace-unsort wrapper must be order-invariant."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from fluctus_tpu.accel import mxu_trace as mt
+
+
+def test_sorted_trace_restores_order(monkeypatch):
+    b = 4096
+    rng = np.random.default_rng(0)
+    o = rng.standard_normal((b, 3)).astype(np.float32)
+    d = rng.standard_normal((b, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o4 = jnp.asarray(np.concatenate([o, np.ones((b, 1), np.float32)], 1))
+    d4 = jnp.asarray(np.concatenate([d, np.zeros((b, 1), np.float32)], 1))
+    tm = jnp.full((b, 1), 1e30, jnp.float32)
+
+    # fake _trace: t encodes the ray's own ox, i encodes quantized dx —
+    # uniquely identifies each ray so ordering bugs show up
+    def fake_trace(o4s, d4s, tmax, arrays, static, any_hit, rt, interp):
+        t = o4s[:, 0:1] * 2.0 + 1000.0
+        i = (d4s[:, 0:1] * 1e6).astype(jnp.int32)
+        return t, i
+
+    monkeypatch.setattr(mt, "_trace", fake_trace)
+
+    class FakeScene:
+        tx = ty = tz = cluster_box = None
+        n_clusters = 1
+        cluster_size = 128
+
+    t, i = mt._sorted_trace(o4, d4, tm, FakeScene(), False, 512, False)
+    np.testing.assert_allclose(np.asarray(t[:, 0]), o[:, 0] * 2.0 + 1000.0,
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i[:, 0]),
+                                  (d[:, 0] * 1e6).astype(np.int32))
+
+
+def test_dir_key_locality():
+    d = np.array([[1, 0, 0], [0.99, 0.1, 0], [-1, 0, 0]], np.float32)
+    d4 = jnp.asarray(np.concatenate([d, np.zeros((3, 1), np.float32)], 1))
+    k = np.asarray(mt._dir_key(d4))
+    assert abs(int(k[0]) - int(k[1])) < abs(int(k[0]) - int(k[2]))
