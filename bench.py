@@ -26,6 +26,9 @@ ENV = "/root/reference/assets/env_maps/night.hdr"
 
 
 def main():
+    import contextlib
+    import json as _json
+
     import jax
 
     from fluctus_tpu import compile_cache
@@ -33,6 +36,15 @@ def main():
 
     from fluctus_tpu.renderer import Renderer
     from fluctus_tpu.settings import Settings
+
+    # everything except the final JSON line goes to stderr
+    with contextlib.redirect_stdout(sys.stderr):
+        result = _run(jax, Renderer, Settings)
+    print(_json.dumps(result))
+    return 0
+
+
+def _run(jax, Renderer, Settings):
 
     s = Settings()
     s.use_env_map = True
@@ -54,7 +66,7 @@ def main():
     if mode == "wf":
         # throughput-tuned wavefront mode (the reference's headline path)
         num_tasks = int(os.environ.get("BENCH_TASKS", str(1 << 20)))
-        segments = int(os.environ.get("BENCH_SEGMENTS", "64"))
+        segments = int(os.environ.get("BENCH_SEGMENTS", "48"))
         r.init_wavefront(num_tasks)
         r.render_wavefront(2)          # warmup/compile
         r.init_wavefront(num_tasks)
@@ -74,13 +86,12 @@ def main():
         elapsed = time.time() - t0
         perf = r.perf_mrays(elapsed)
         value = perf["total"]
-    print(json.dumps({
+    return {
         "metric": "Mrays/s/chip (traverse+shade), egyptcat 1080p",
         "value": round(value, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(value / BASELINE_MRAYS, 4),
-    }))
-    return 0
+    }
 
 
 if __name__ == "__main__":
