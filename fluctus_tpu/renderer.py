@@ -217,6 +217,36 @@ class Renderer:
     def wavefront_film(self):
         return self._wf_state.film
 
+    def render_single_wavefront(self, spp: int,
+                                num_tasks: Optional[int] = None,
+                                max_segments: int = 100000):
+        """Exact-spp batch render via the wavefront path with the CHECK_SPP
+        cap (wf_logic.cl:76-84): segments run until every pixel has spp
+        samples. Preferred on TPU, where the unrolled per-bounce megastep
+        costs minutes of compile; the reference's microkernel renderSingle
+        (tracer.cpp:108-182) semantics are matched by the cap."""
+        from .core.integrator_wf import wf_reset, wf_segment
+        cfg = self.config.replace(max_spp=spp, use_roulette=False)
+        n_tasks = num_tasks or self.settings.wf_buffer_size
+        state = wf_reset(cfg, n_tasks, world_radius=self.world_radius)
+        step = jax.jit(wf_segment, static_argnames=("config",
+                                                    "first_iteration"))
+        done = 0
+        counters = []
+        while done < max_segments:
+            for _ in range(16):
+                state, c = step(self.device_scene, self.params, state, cfg)
+                counters.append(c)
+                done += 1
+            if int(jnp.min(state.spp)) >= spp:
+                break
+        self.film = state.film
+        self._wf_state = state
+        self._wf_counters = counters
+        st = self.wavefront_stats()
+        self.stats = self.stats + st
+        return state.film
+
     # -- output --------------------------------------------------------------
     def ldr_image(self) -> np.ndarray:
         """Postprocessed [H, W, 3] float in [0,1] (process kernel)."""
