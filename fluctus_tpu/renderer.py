@@ -254,14 +254,16 @@ class Renderer:
                           self.params.pp.exposure, self.params.pp.tm_operator)
         arr = np.stack([np.asarray(rgb.x), np.asarray(rgb.y),
                         np.asarray(rgb.z)], axis=-1)
-        return np.clip(arr.reshape(self.height, self.width, 3), 0.0, 1.0)
+        # pixel row 0 is the bottom scanline (GL convention, as the
+        # reference's PBO blit); images store top-first
+        return np.clip(arr.reshape(self.height, self.width, 3)[::-1], 0.0, 1.0)
 
     def hdr_image(self) -> np.ndarray:
         w = np.maximum(np.asarray(self.film.weight), 1e-30)
         arr = np.stack([np.asarray(self.film.color.x) / w,
                         np.asarray(self.film.color.y) / w,
                         np.asarray(self.film.color.z) / w], axis=-1)
-        return arr.reshape(self.height, self.width, 3)
+        return arr.reshape(self.height, self.width, 3)[::-1]
 
     def save_image(self, path: str):
         if path.endswith(".hdr"):
