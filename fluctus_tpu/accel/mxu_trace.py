@@ -15,19 +15,26 @@ v = o'_v + t d'_v, hit iff t > 0, u >= 0, v >= 0, u + v <= 1 — identical
 predicates to the reference's Moller-Trumbore (intersect.cl:62-93), equal
 hit-t up to ~1e-7 relative.
 
-The Pallas kernel tiles rays (grid dim 0) x cluster groups (grid dim 1),
-keeps per-ray best (t, index) accumulators in VMEM across the sweep, visits
-clusters front-to-back, and skips any cluster whose AABB no ray in the tile
-can still hit (the hierarchy's work saving, recovered tile-granular).
-Clusters come from cutting the SAH/SBVH tree into subtrees of
-<= cluster_size triangles, so they inherit the reference hierarchy's build
-quality. A second kernel resolves the winner's exact t/u/v, interpolated
-vertex attributes and baked material parameters via one-hot matmuls —
-zero serialized gathers in the whole hot path.
+Rays are sorted by a coherence key (direction octant | origin morton |
+direction LSBs) and cut into tiles; every tile gets a PRIVATE candidate
+cluster list from a conservative interval-arithmetic cull + front-to-back
+sort done in plain JAX (`_tile_order`), and the Pallas kernel walks that
+list in a while loop with per-ray t_best pruning and a conservative
+early-out — the reference's stack-traversal work saving (bvh.cl:234-373)
+recovered tile-granular. Clusters come from cutting the SAH/SBVH tree into
+subtrees of <= cluster_size triangles, so they inherit the reference
+hierarchy's build quality. Two kernel layouts exist: rays-on-sublanes
+(original, used for interpret-mode tests) and the production
+rays-on-lanes layout (`_trace_kernel_rol`, [tc, rt] intermediates) whose
+per-candidate cull runs on [1, rt] rows — ~two orders of magnitude
+cheaper, which is what makes long candidate lists affordable. A separate
+kernel resolves the winner's exact t/u/v, interpolated vertex attributes
+and baked material parameters via one-hot matmuls — zero serialized
+gathers in the whole hot path.
 
-Measured on v5e (wall-clock, dependent-chain timing): 512k rays against the
-3.2k-triangle teapot in ~80 ms and the 16k-triangle egyptcat in ~94 ms
-(~5-6 Mrays/s closest-hit), VPU-bound in the per-pair epilogue.
+Measured on v5e (wall-clock, dependent-chain timing, egyptcat 16k tris,
+1M rays): ~10-18 Mrays/s closest-hit camera, ~9-12 bounce, ~13-18 any-hit
+(the axon tunnel adds ±30% session noise); ~3x the round-1 dense sweep.
 """
 
 from __future__ import annotations
@@ -134,6 +141,8 @@ class MXUScene:
     # transposed transforms [Mpad, 12]: (tx0..3, ty0..3, tz0..3) per tri,
     # consumed by the resolve kernel to recover exact t, u, v for the winner
     txy_t: Optional[jnp.ndarray] = None
+    # coefficient-major transforms [12, Mpad] for the rays-on-lanes kernel
+    t12: Optional[jnp.ndarray] = None
     # static
     n_clusters: int = dataclasses.field(metadata=dict(static=True), default=1)
     cluster_size: int = dataclasses.field(metadata=dict(static=True), default=256)
@@ -232,6 +241,7 @@ class MXUScene:
         return MXUScene(
             attrs=attrs,
             txy_t=jnp.asarray(txy_t),
+            t12=jnp.asarray(np.ascontiguousarray(txy_t.T)),
             tx=jnp.asarray(np.ascontiguousarray(t4[:, :, 0].T, np.float32)),
             ty=jnp.asarray(np.ascontiguousarray(t4[:, :, 1].T, np.float32)),
             tz=jnp.asarray(np.ascontiguousarray(t4[:, :, 2].T, np.float32)),
@@ -246,11 +256,16 @@ class MXUScene:
 # Pallas kernels
 # ---------------------------------------------------------------------------
 
-def _trace_kernel(o_ref, d_ref, tm_ref, tx_ref, ty_ref, tz_ref, box_ref,
-                  order_ref, t_ref, i_ref,
-                  *, rt, tc, group, n_clusters, any_hit):
-    """One (ray tile, cluster group) step. Each program sweeps `group`
-    consecutive clusters with a true predicated skip per cluster.
+def _trace_kernel(o_ref, d_ref, tm_ref, ord_ref, cons_ref,
+                  tx_ref, ty_ref, tz_ref, box_ref, t_ref, i_ref,
+                  *, rt, tc, n_clusters, any_hit):
+    """One ray tile. The kernel walks the tile's private candidate-cluster
+    list (precomputed by `_tile_order`: conservatively culled, sorted
+    front-to-back by the tile's lower-bound entry distance) in a while loop
+    that exits as soon as (a) the list hits its -1 sentinel or (b) the next
+    candidate's conservative tnear exceeds the worst remaining t_best in
+    the tile — the vector-machine analogue of the reference's stack
+    traversal early-out (bvh.cl:234-373 `tnear > hit->t` pruning).
 
     The K=4 affine transforms are evaluated as VPU broadcast-FMAs — on this
     toolchain an f32 MXU matmul at HIGHEST precision decomposes into 6
@@ -259,29 +274,29 @@ def _trace_kernel(o_ref, d_ref, tm_ref, tx_ref, ty_ref, tz_ref, box_ref,
     Winner selection is ONE packed min-reduction: positive-float bit
     patterns sort like integers, so key = (bitcast(t) & ~(tc-1)) | col picks
     the closest triangle and its column together (t quantized by ~2^-13
-    relative; u, v are recovered exactly in the resolve kernel)."""
-    j = pl.program_id(1)
+    relative; u, v are recovered exactly in the resolve kernel).
 
-    @pl.when(j == 0)
-    def _():
-        t_ref[:] = tm_ref[:]
-        i_ref[:] = jnp.full((rt, 1), -1, jnp.int32)
+    In any-hit mode a blocked ray zeroes its t_ref slot so the early-out
+    `t_worst <= 0` fires once the whole tile is occluded."""
+    t_ref[:] = tm_ref[:]
+    i_ref[:] = jnp.full((rt, 1), -1, jnp.int32)
 
     O = o_ref[:]                     # [rt, 4]: centered origin, w=1
     D = d_ref[:]                     # [rt, 4]: direction, w=0
     inv = 1.0 / jnp.where(D[:, 0:3] == 0.0, 1e-30, D[:, 0:3])
     colbits = tc - 1                 # tc is a power of two
 
-    def cluster_step(g, _):
-        # sweep clusters front-to-back (per-tile order precomputed per
-        # dispatch) so tnear < t_best prunes everything behind the hits
-        slot = j * group + g
-        c = order_ref[jnp.minimum(slot, n_clusters - 1), 0]
-        in_range = slot < n_clusters
+    def cond(carry):
+        slot, stop = carry
+        return (slot < n_clusters) & ~stop
+
+    def body(carry):
+        slot, _ = carry
+        c = ord_ref[0, slot, 0]
         t_best = t_ref[:]
 
-        # ---- cluster AABB cull: slab test for the whole tile --------------
-        box = box_ref[jnp.minimum(c, n_clusters - 1), :]
+        # ---- cluster AABB cull: per-ray slab test for the tile ------------
+        box = box_ref[jnp.maximum(c, 0), :]
         t1 = (box[0:3] - O[:, 0:3]) * inv
         t2 = (box[3:6] - O[:, 0:3]) * inv
         tnear = jnp.max(jnp.minimum(t1, t2), axis=1, keepdims=True)
@@ -289,7 +304,7 @@ def _trace_kernel(o_ref, d_ref, tm_ref, tx_ref, ty_ref, tz_ref, box_ref,
         box_hit = (tfar >= 0.0) & (tnear <= tfar) & (tnear < t_best)
         if any_hit:
             box_hit = box_hit & (i_ref[:] < 0)
-        live = jnp.any(box_hit) & in_range
+        live = jnp.any(box_hit) & (c >= 0)
 
         @pl.when(live)
         def _():
@@ -319,7 +334,9 @@ def _trace_kernel(o_ref, d_ref, tm_ref, tx_ref, ty_ref, tz_ref, box_ref,
             if any_hit:
                 tcand = jnp.where(valid, t, F32_MAX)
                 tmin = jnp.min(tcand, axis=1, keepdims=True)
-                i_ref[:] = jnp.where(tmin < t_best, 1, i_ref[:])
+                blocked = tmin < t_best
+                i_ref[:] = jnp.where(blocked, 1, i_ref[:])
+                t_ref[:] = jnp.where(blocked, 0.0, t_ref[:])
             else:
                 col = jax.lax.broadcasted_iota(jnp.int32, (rt, tc), 1)
                 key = (pltpu.bitcast(t, jnp.int32) & ~colbits) | col
@@ -330,9 +347,243 @@ def _trace_kernel(o_ref, d_ref, tm_ref, tx_ref, ty_ref, tz_ref, box_ref,
                 t_ref[:] = jnp.where(better, tmin, t_ref[:])
                 i_ref[:] = jnp.where(better, (kmin & colbits) + c * tc,
                                      i_ref[:])
-        return 0
 
-    jax.lax.fori_loop(0, group, cluster_step, 0)
+        # ---- early-out: nothing ahead can beat the worst live t_best ------
+        nxt = slot + 1
+        guard = jnp.minimum(nxt, n_clusters - 1)
+        t_worst = jnp.max(t_ref[:])
+        stop = (ord_ref[0, guard, 0] < 0) | (cons_ref[0, guard, 0] > t_worst) \
+            | (t_worst <= 0.0)
+        return nxt, stop
+
+    t_worst0 = jnp.max(tm_ref[:])
+    stop0 = (ord_ref[0, 0, 0] < 0) | (cons_ref[0, 0, 0] > t_worst0) \
+        | (t_worst0 <= 0.0)
+    jax.lax.while_loop(cond, body, (jnp.int32(0), stop0))
+
+
+def _trace_kernel_rol(o_ref, tm_ref, ord_ref, cons_ref, t12_ref, box_ref,
+                      t_ref, i_ref, *, rt, tc, n_clusters, any_hit):
+    """Rays-on-lanes variant: intermediates are [tc, rt] (triangles on
+    sublanes, rays on lanes). The per-candidate AABB cull runs on [1, rt]
+    rows — ~128x cheaper than the lane-padded [rt, 1] columns of the
+    rays-on-sublanes layout — so small ray tiles and long candidate lists
+    cost almost nothing beyond the live pair math. The per-cluster
+    transform block is sliced [12, tc] from the resident table (128-aligned
+    dynamic lane slice) and transposed in-register once per visit."""
+    O = o_ref[0]                      # [8, rt]: ox oy oz 1 dx dy dz 0
+    o0, o1, o2 = O[0:1], O[1:2], O[2:3]
+    d0, d1, d2 = O[4:5], O[5:6], O[6:7]
+    eps = 1e-30
+    i0 = 1.0 / jnp.where(d0 == 0.0, eps, d0)
+    i1 = 1.0 / jnp.where(d1 == 0.0, eps, d1)
+    i2 = 1.0 / jnp.where(d2 == 0.0, eps, d2)
+    tm = tm_ref[0]                    # [1, rt]
+    t_ref[0] = tm
+    i_ref[0] = jnp.full((1, rt), -1, jnp.int32)
+    rowbits = tc - 1
+
+    def cond(carry):
+        slot, stop = carry
+        return (slot < n_clusters) & ~stop
+
+    def body(carry):
+        slot, _ = carry
+        c = ord_ref[0, slot, 0]
+        t_best = t_ref[0]             # [1, rt]
+        box = box_ref[jnp.maximum(c, 0), :]
+
+        ax = (box[0] - o0) * i0
+        bx = (box[3] - o0) * i0
+        ay = (box[1] - o1) * i1
+        by = (box[4] - o1) * i1
+        az = (box[2] - o2) * i2
+        bz = (box[5] - o2) * i2
+        tnear = jnp.maximum(jnp.maximum(jnp.minimum(ax, bx),
+                                        jnp.minimum(ay, by)),
+                            jnp.minimum(az, bz))
+        tfar = jnp.minimum(jnp.minimum(jnp.maximum(ax, bx),
+                                       jnp.maximum(ay, by)),
+                           jnp.maximum(az, bz))
+        box_hit = (tfar >= 0.0) & (tnear <= tfar) & (tnear < t_best)
+        if any_hit:
+            box_hit = box_hit & (i_ref[0] < 0)
+        live = jnp.any(box_hit) & (c >= 0)
+
+        @pl.when(live)
+        def _():
+            off = pl.multiple_of(c * tc, 128)
+            TT = t12_ref[:, pl.ds(off, tc)].T        # [tc, 12]
+            oz = o0 * TT[:, 8:9] + o1 * TT[:, 9:10] + o2 * TT[:, 10:11] \
+                + TT[:, 11:12]
+            dz = d0 * TT[:, 8:9] + d1 * TT[:, 9:10] + d2 * TT[:, 10:11]
+            t = -oz / jnp.where(dz == 0.0, 1.0, dz)
+            ox = o0 * TT[:, 0:1] + o1 * TT[:, 1:2] + o2 * TT[:, 2:3] \
+                + TT[:, 3:4]
+            dx = d0 * TT[:, 0:1] + d1 * TT[:, 1:2] + d2 * TT[:, 2:3]
+            u = ox + t * dx
+            oy = o0 * TT[:, 4:5] + o1 * TT[:, 5:6] + o2 * TT[:, 6:7] \
+                + TT[:, 7:8]
+            dy = d0 * TT[:, 4:5] + d1 * TT[:, 5:6] + d2 * TT[:, 6:7]
+            v = oy + t * dy
+            valid = (dz != 0.0) & (t > 0.0) & \
+                (jnp.minimum(jnp.minimum(u, v), 1.0 - u - v) >= 0.0)
+            if any_hit:
+                tcand = jnp.where(valid, t, F32_MAX)
+                tmin = jnp.min(tcand, axis=0, keepdims=True)
+                blocked = tmin < t_best
+                i_ref[0] = jnp.where(blocked, 1, i_ref[0])
+                t_ref[0] = jnp.where(blocked, 0.0, t_ref[0])
+            else:
+                row = jax.lax.broadcasted_iota(jnp.int32, (tc, rt), 0)
+                key = (pltpu.bitcast(t, jnp.int32) & ~rowbits) | row
+                key = jnp.where(valid, key, jnp.int32(0x7F800000))
+                kmin = jnp.min(key, axis=0, keepdims=True)
+                tmin = pltpu.bitcast(kmin & ~rowbits, jnp.float32)
+                better = tmin < t_best
+                t_ref[0] = jnp.where(better, tmin, t_ref[0])
+                i_ref[0] = jnp.where(better, (kmin & rowbits) + c * tc,
+                                     i_ref[0])
+
+        nxt = slot + 1
+        guard = jnp.minimum(nxt, n_clusters - 1)
+        t_worst = jnp.max(t_ref[0])
+        stop = (ord_ref[0, guard, 0] < 0) | (cons_ref[0, guard, 0] > t_worst) \
+            | (t_worst <= 0.0)
+        return nxt, stop
+
+    t_worst0 = jnp.max(tm)
+    stop0 = (ord_ref[0, 0, 0] < 0) | (cons_ref[0, 0, 0] > t_worst0) \
+        | (t_worst0 <= 0.0)
+    jax.lax.while_loop(cond, body, (jnp.int32(0), stop0))
+
+
+@partial(jax.jit, static_argnames=("scene_static", "any_hit", "ray_tile",
+                                   "interpret"))
+def _trace_rol(o4, d4, tmax_col, t12, boxes, scene_static, any_hit,
+               ray_tile, interpret):
+    """Rays-on-lanes dispatch: rays packed [n_tiles, 8, rt]."""
+    n_clusters, tc = scene_static
+    rt = ray_tile
+    b = o4.shape[0]
+    nt = b // rt
+
+    order, cons = _tile_order(o4, d4, tmax_col, boxes, rt)
+    ncl_pad = order.shape[1]
+
+    rays = jnp.stack([o4[:, 0], o4[:, 1], o4[:, 2], o4[:, 3],
+                      d4[:, 0], d4[:, 1], d4[:, 2], d4[:, 3]], axis=0)
+    rays = rays.reshape(8, nt, rt).transpose(1, 0, 2)     # [nt, 8, rt]
+    tm = tmax_col.reshape(nt, 1, rt)
+
+    kernel = partial(_trace_kernel_rol, rt=rt, tc=tc,
+                     n_clusters=n_clusters, any_hit=any_hit)
+    t, i = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, 8, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ncl_pad, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ncl_pad, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, 1, rt), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 1, rt), jnp.int32),
+        ],
+        interpret=interpret,
+    )(rays, tm, order, cons, t12, boxes)
+    return t.reshape(b, 1), i.reshape(b, 1)
+
+
+_CULL_INF = np.float32(1e30)
+
+
+def _tile_order(o4, d4, tmax_col, boxes, rt):
+    """Per-ray-tile candidate cluster lists (plain JAX, outside the kernel).
+
+    For every (tile, cluster) pair a conservative interval-arithmetic slab
+    test decides whether ANY ray in the tile could enter the cluster's AABB
+    within its tmax; survivors are sorted by their lower-bound entry
+    distance (front-to-back for the whole tile). Returns
+      order [n_tiles, ncl_pad, 1] int32 (-1-terminated candidate list)
+      cons  [n_tiles, ncl_pad, 1] f32   (conservative tnear per candidate)
+    Correctness: a cluster is only dropped when provably unreachable by
+    every ray of the tile, and `cons` is a true lower bound, so the
+    kernel's `cons > t_worst` early-out never skips a potential closest
+    hit. Rays are direction-sorted before tiling (`_sorted_trace`), which
+    keeps the per-tile intervals tight."""
+    b = o4.shape[0]
+    nt = b // rt
+    ncl = boxes.shape[0]
+    o = o4[:, 0:3].reshape(nt, rt, 3)
+    d = d4[:, 0:3].reshape(nt, rt, 3)
+    olo = o.min(axis=1)[:, None, :]           # [nt,1,3]
+    ohi = o.max(axis=1)[:, None, :]
+    dlo = d.min(axis=1)[:, None, :]
+    dhi = d.max(axis=1)[:, None, :]
+    tm_hi = tmax_col.reshape(nt, rt).max(axis=1)   # [nt]
+
+    # reciprocal interval; a sign change makes the axis unconstraining
+    span = (dlo <= 0.0) & (dhi >= 0.0)
+    safe_lo = jnp.where(dlo == 0.0, 1e-30, dlo)
+    safe_hi = jnp.where(dhi == 0.0, 1e-30, dhi)
+    ilo = jnp.where(span, -_CULL_INF, 1.0 / safe_hi)
+    ihi = jnp.where(span, _CULL_INF, 1.0 / safe_lo)
+
+    bmin = boxes[None, :, 0:3]                # [1,ncl,3]
+    bmax = boxes[None, :, 3:6]
+
+    def imul(alo, ahi):
+        """Interval product (a) * (ilo, ihi) -> (lo, hi)."""
+        p1, p2 = alo * ilo, alo * ihi
+        p3, p4 = ahi * ilo, ahi * ihi
+        return (jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+                jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)))
+
+    ta_lo, ta_hi = imul(bmin - ohi, bmin - olo)    # t at bmin planes
+    tb_lo, tb_hi = imul(bmax - ohi, bmax - olo)    # t at bmax planes
+    near_lo = jnp.minimum(ta_lo, tb_lo)
+    far_hi = jnp.maximum(ta_hi, tb_hi)
+    tnear_lo = jnp.max(near_lo, axis=2)            # [nt,ncl]
+    tfar_hi = jnp.min(far_hi, axis=2)
+
+    # box-box distance: a direction-independent lower bound on ray travel
+    # from any tile origin into the cluster (|p - o| >= dist) — this is the
+    # bound that engages when a tile is origin-coherent but direction-mixed
+    if _os.environ.get("FLT_DIST_LO", "1") == "1":
+        gap = jnp.maximum(jnp.maximum(bmin - ohi, olo - bmax), 0.0)
+        dist_lo = jnp.sqrt(jnp.sum(gap * gap, axis=2))  # [nt,ncl]
+        tnear_lo = jnp.maximum(tnear_lo, dist_lo)
+    cull = (tfar_hi < 0.0) | (tnear_lo > tfar_hi) \
+        | (tnear_lo > tm_hi[:, None])
+
+    key = jnp.where(cull, _CULL_INF, jnp.maximum(tnear_lo, 0.0))
+    idx = jnp.broadcast_to(
+        jnp.arange(ncl, dtype=jnp.int32)[None, :], (nt, ncl))
+    skey, sidx = jax.lax.sort((key, idx), num_keys=1)
+    order = jnp.where(skey >= _CULL_INF, -1, sidx)
+
+    pad = (-ncl) % 8
+    if pad:
+        order = jnp.concatenate(
+            [order, jnp.full((nt, pad), -1, jnp.int32)], axis=1)
+        skey = jnp.concatenate(
+            [skey, jnp.full((nt, pad), _CULL_INF, jnp.float32)], axis=1)
+    return (order.reshape(nt, ncl + pad, 1),
+            skey.reshape(nt, ncl + pad, 1))
 
 
 def _pad_rays(x, rt):
@@ -352,79 +603,118 @@ def _trace(o4, d4, tmax_col, scene_arrays, scene_static, any_hit, ray_tile,
     rt = ray_tile
     b = o4.shape[0]
 
-    # front-to-back cluster order (shared across tiles: Mosaic only allows
-    # dynamic indexing on the sublane axis, so a per-tile order would need
-    # an unsupported dynamic lane read). Distance from the batch's mean ray
-    # origin to the cluster centers; the per-ray tnear < t_best test then
-    # prunes clusters behind the first hits.
-    mean_o = jnp.mean(o4[:, 0:3], axis=0)
-    centers = 0.5 * (boxes[:, 0:3] + boxes[:, 3:6])
-    dist = jnp.sum((centers - mean_o[None, :]) ** 2, axis=1)
-    order = jnp.argsort(dist).astype(jnp.int32).reshape(-1, 1)
+    order, cons = _tile_order(o4, d4, tmax_col, boxes, rt)
+    ncl_pad = order.shape[1]
 
-    import os
-    group = min(8, n_clusters)
-    n_groups = -(-n_clusters // group)
-    kernel = partial(_trace_kernel, rt=rt, tc=tc, group=group,
+    kernel = partial(_trace_kernel, rt=rt, tc=tc,
                      n_clusters=n_clusters, any_hit=any_hit)
-    grid = (b // rt, n_groups)
+    grid = (b // rt,)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((rt, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rt, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ncl_pad, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ncl_pad, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             # full tables resident in VMEM across the sweep
-            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((rt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(o4, d4, tmax_col, tx, ty, tz, boxes, order)
+    )(o4, d4, tmax_col, order, cons, tx, ty, tz, boxes)
     return out
 
 
 import os as _os
 RAY_TILE = int(_os.environ.get("FLT_RAY_TILE", "512"))
 SORT_RAYS = _os.environ.get("FLT_SORT_RAYS", "1") == "1"
+ROL = _os.environ.get("FLT_ROL", "1") == "1"
+ROL_TILE = int(_os.environ.get("FLT_ROL_TILE", "512"))
 
 
-def _dir_key(d4):
-    """Coherence sort key: direction octant then quantized lexicographic.
-    lax.sort carries payload operands without gathers, so reordering rays
-    for tile coherence costs ~2 sorts (~3 ms @1M) and lets the per-tile
-    cluster culling engage for incoherent bounce wavefronts."""
-    q = jnp.clip((d4[:, 0:3] * 0.5 + 0.5) * 127.0, 0.0, 127.0).astype(jnp.int32)
-    return (q[:, 0] << 14) | (q[:, 1] << 7) | q[:, 2]
-
-
-def _sorted_trace(o4, d4, tmax_col, scene, any_hit, ray_tile, interpret):
-    """Sort rays by direction key, trace, restore order. Gather-free:
-    lax.sort moves all payload columns together."""
-    b = o4.shape[0]
-    key = _dir_key(d4)
-    idx = jnp.arange(b, dtype=jnp.int32)
-    ops = (key, idx, o4[:, 0], o4[:, 1], o4[:, 2],
-           d4[:, 0], d4[:, 1], d4[:, 2], tmax_col[:, 0])
-    srt = jax.lax.sort(ops, num_keys=1)
-    _, sidx, ox, oy, oz, dx, dy, dz, tm = srt
-    o4s = jnp.stack([ox, oy, oz, jnp.ones(b)], axis=1)
-    d4s = jnp.stack([dx, dy, dz, jnp.zeros(b)], axis=1)
-    t, i = _trace(o4s, d4s, tm.reshape(b, 1),
+def _dispatch_trace(o4, d4, tmax_col, scene, any_hit, ray_tile, interpret):
+    """Select the trace kernel: rays-on-lanes (ROL) or rays-on-sublanes."""
+    if ROL and scene.t12 is not None and not interpret:
+        return _trace_rol(o4, d4, tmax_col, scene.t12, scene.cluster_box,
+                          (scene.n_clusters, scene.cluster_size),
+                          any_hit, ROL_TILE, interpret)
+    return _trace(o4, d4, tmax_col,
                   (scene.tx, scene.ty, scene.tz, scene.cluster_box),
                   (scene.n_clusters, scene.cluster_size),
                   any_hit, ray_tile, interpret)
+
+
+def _morton5(q):
+    """Spread 5 bits of q to every 3rd bit position (vectorized int32)."""
+    return ((q & 1) | ((q & 2) << 2) | ((q & 4) << 4)
+            | ((q & 8) << 6) | ((q & 16) << 8))
+
+
+def _sort_key(o4, d4, lo, hi):
+    """Two-level coherence sort key, returned as (major, minor) for a
+    two-key lax.sort. Major: direction octant | origin morton (15b) —
+    octant-major keeps each tile's direction signs fixed (bounded
+    reciprocal intervals for the slab test) and the morton groups
+    bounce-ray origins spatially so the per-tile box-distance bound
+    engages. Minor: 7-bit-per-axis quantized direction, which orders
+    primary rays (identical origins, hence identical major key) into
+    tight frusta. lax.sort carries payload operands without gathers, so
+    the reorder costs ~2 sorts (~3 ms @1M)."""
+    d = d4[:, 0:3]
+    o = o4[:, 0:3]
+    oct_ = ((d[:, 0] < 0).astype(jnp.int32)
+            | ((d[:, 1] < 0).astype(jnp.int32) << 1)
+            | ((d[:, 2] < 0).astype(jnp.int32) << 2))
+    ext = jnp.maximum(hi - lo, 1e-30)
+    qo = jnp.clip((o - lo[None, :]) / ext[None, :] * 31.0, 0.0, 31.0)
+    qo = qo.astype(jnp.int32)
+    morton = (_morton5(qo[:, 0]) | (_morton5(qo[:, 1]) << 1)
+              | (_morton5(qo[:, 2]) << 2))
+    qd = jnp.clip((d * 0.5 + 0.5) * 127.0, 0.0, 127.0).astype(jnp.int32)
+    minor = (qd[:, 0] << 14) | (qd[:, 1] << 7) | qd[:, 2]
+    return (oct_ << 15) | morton, minor
+
+
+def _sorted_trace(o4, d4, tmax_col, scene, any_hit, ray_tile, interpret):
+    """Sort rays by coherence key, trace, restore order. Gather-free:
+    lax.sort moves all payload columns together."""
+    b = o4.shape[0]
+    boxes = scene.cluster_box
+    lo = jnp.min(boxes[:, 0:3], axis=0)
+    hi = jnp.max(boxes[:, 3:6], axis=0)
+    if _os.environ.get("FLT_KEY", "oct") == "dir":
+        q = jnp.clip((d4[:, 0:3] * 0.5 + 0.5) * 127.0,
+                     0.0, 127.0).astype(jnp.int32)
+        kmaj = (q[:, 0] << 14) | (q[:, 1] << 7) | q[:, 2]
+        kmin = jnp.zeros_like(kmaj)
+    else:
+        kmaj, kmin = _sort_key(o4, d4, lo, hi)
+    # padding rows (and degenerate tmax<=0 rays) sort to the end so they
+    # cannot pollute real tiles' conservative bounds
+    kmaj = jnp.where(tmax_col[:, 0] <= 0.0, jnp.int32(0x7FFFFFFF), kmaj)
+    idx = jnp.arange(b, dtype=jnp.int32)
+    ops = (kmaj, kmin, idx, o4[:, 0], o4[:, 1], o4[:, 2],
+           d4[:, 0], d4[:, 1], d4[:, 2], tmax_col[:, 0])
+    srt = jax.lax.sort(ops, num_keys=2)
+    _, _, sidx, ox, oy, oz, dx, dy, dz, tm = srt
+    o4s = jnp.stack([ox, oy, oz, jnp.ones(b)], axis=1)
+    d4s = jnp.stack([dx, dy, dz, jnp.zeros(b)], axis=1)
+    t, i = _dispatch_trace(o4s, d4s, tm.reshape(b, 1), scene, any_hit,
+                           ray_tile, interpret)
     # restore original order: sort by the carried original index
     _, t_out, i_out = jax.lax.sort((sidx, t[:, 0], i[:, 0]), num_keys=1)
     return t_out.reshape(b, 1), i_out.reshape(b, 1)

@@ -118,17 +118,28 @@ def wf_reset(config: RenderConfig, num_tasks: int, world_radius=1.0) -> WfState:
 
 
 def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
-               config: RenderConfig, first_iteration: bool = False):
+               config: RenderConfig, first_iteration: bool = False,
+               pixel_base=None):
     """Advance the wavefront one segment: extension trace + shadow trace of
     the previous segment's rays, logic (implicit hits, NEE resolve, splat,
     RR), NEE generation, material sampling, ray regeneration.
-    Returns (state, counters)."""
+    Returns (state, counters).
+
+    Multi-chip: the pixel ring spans ``[pixel_base, pixel_base +
+    len(film))`` — under shard_map each shard owns a disjoint pixel
+    sub-ring (its film/spp slice) and a private pool slice + ring cursor,
+    so the whole segment is shard-local (clcontext.cpp:917-927 ring
+    semantics preserved per shard; see parallel/mesh.py)."""
     cfg = config
     pool = state.pool
     n = pool.seed.shape[0]
     use_env = cfg.use_env_map and scene.env is not None
     light = params.area_light if cfg.use_area_light else None
-    num_pixels = cfg.num_pixels
+    # ring size = the film slice this segment owns (== num_pixels when
+    # unsharded; the per-shard slice under shard_map)
+    num_pixels = state.film.weight.shape[0]
+    if pixel_base is None:
+        pixel_base = jnp.int32(0)
 
     seed = pool.seed
     T = pool.T
@@ -164,7 +175,7 @@ def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
 
     max_samples_reached = jnp.zeros(n, bool)
     if cfg.max_spp > 0:
-        pix_spp = jnp.take(state.spp, pool.pixel_index)
+        pix_spp = jnp.take(state.spp, pool.pixel_index - pixel_base)
         max_samples_reached = pix_spp >= cfg.max_spp
         terminate |= max_samples_reached
 
@@ -216,7 +227,8 @@ def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
     splat = terminate & (plen > 0)
     if cfg.max_spp > 0:
         splat &= ~max_samples_reached
-    seg = jnp.where(splat, pool.pixel_index, num_pixels)  # overflow bucket
+    seg = jnp.where(splat, pool.pixel_index - pixel_base,
+                    num_pixels)  # overflow bucket
     film = state.film
 
     # one 4-channel scatter instead of four 1-channel ones — scatters take
@@ -327,7 +339,7 @@ def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
     # =====================================================================
     rank = jnp.cumsum(terminate.astype(jnp.int32)) - terminate.astype(jnp.int32)
     n_regen = jnp.sum(terminate.astype(jnp.int32))
-    new_pixel = jnp.mod(state.curr_pixel + rank, num_pixels)
+    new_pixel = pixel_base + jnp.mod(state.curr_pixel + rank, num_pixels)
     pixel_index = jnp.where(terminate, new_pixel, pool.pixel_index)
     cam_orig, cam_dir, seed = generate_camera_rays(
         pixel_index, params.camera, cfg.width, cfg.height,

@@ -65,3 +65,62 @@ def shard_film(film: Film, seed, mesh: Mesh, axis: str = "px"):
     shard = NamedSharding(mesh, P(axis))
     return (jax.device_put(film, jax.tree_util.tree_map(lambda _: shard, film)),
             jax.device_put(seed, shard))
+
+
+# ---------------------------------------------------------------------------
+# Wavefront (throughput) integrator sharding
+# ---------------------------------------------------------------------------
+
+def shard_wf_state(state, mesh: Mesh, axis: str = "px"):
+    """Distribute a wf_reset state over the mesh: pool and film/spp sharded
+    on their leading dim, one ring cursor per shard.
+
+    Each shard owns the pixel sub-ring [k*P/D, (k+1)*P/D) and a private
+    slice of the path pool — the reference's single-GPU pixel ring
+    (clcontext.cpp:917-927) replicated per chip with disjoint pixel
+    domains, so a segment needs NO cross-chip communication except the
+    stats psum."""
+    d = mesh.devices.size
+    n = state.pool.seed.shape[0]
+    p = state.film.weight.shape[0]
+    if n % d or p % d:
+        raise ValueError(f"pool ({n}) and pixels ({p}) must divide the "
+                         f"mesh size ({d})")
+    shard = NamedSharding(mesh, P(axis))
+    cursors = jnp.zeros(d, jnp.int32)
+    sharded = state._replace(curr_pixel=cursors)
+    return jax.device_put(
+        sharded, jax.tree_util.tree_map(lambda _: shard, sharded))
+
+
+def wf_segment_sharded(scene, params, state, config, mesh: Mesh,
+                       axis: str = "px"):
+    """One wavefront segment under shard_map: per-shard pools, pixel
+    sub-rings and films; counters psum'd over the mesh (the reference's
+    queue-counter readback, reduced over chips)."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+
+    from ..core.integrator_wf import wf_segment
+
+    def local_segment(scene, params, state):
+        local_pixels = state.film.weight.shape[0]
+        base = jax.lax.axis_index(axis).astype(jnp.int32) * local_pixels
+        st = state._replace(curr_pixel=state.curr_pixel[0])
+        new_state, counters = wf_segment(scene, params, st, config,
+                                         pixel_base=base)
+        counters = jax.tree_util.tree_map(
+            lambda c: jax.lax.psum(c, axis), counters)
+        new_state = new_state._replace(
+            curr_pixel=new_state.curr_pixel.reshape(1))
+        return new_state, counters
+
+    shard = P(axis)
+    rep = P()
+    state_specs = jax.tree_util.tree_map(lambda _: shard, state)
+    fn = shard_map(local_segment, mesh=mesh,
+                   in_specs=(rep, rep, state_specs),
+                   out_specs=(state_specs, rep),
+                   check_rep=False)
+    return fn(scene, params, state)

@@ -26,7 +26,9 @@ def test_sorted_trace_restores_order(monkeypatch):
     monkeypatch.setattr(mt, "_trace", fake_trace)
 
     class FakeScene:
-        tx = ty = tz = cluster_box = None
+        tx = ty = tz = None
+        t12 = None          # forces the rays-on-sublanes dispatch
+        cluster_box = jnp.asarray([[-1.0, -1, -1, 1, 1, 1, 0, 0]])
         n_clusters = 1
         cluster_size = 128
 
@@ -37,8 +39,14 @@ def test_sorted_trace_restores_order(monkeypatch):
                                   (d[:, 0] * 1e6).astype(np.int32))
 
 
-def test_dir_key_locality():
+def test_sort_key_locality():
     d = np.array([[1, 0, 0], [0.99, 0.1, 0], [-1, 0, 0]], np.float32)
     d4 = jnp.asarray(np.concatenate([d, np.zeros((3, 1), np.float32)], 1))
-    k = np.asarray(mt._dir_key(d4))
-    assert abs(int(k[0]) - int(k[1])) < abs(int(k[0]) - int(k[2]))
+    o4 = jnp.zeros((3, 4), jnp.float32)
+    lo = jnp.asarray([-1.0, -1, -1])
+    hi = jnp.asarray([1.0, 1, 1])
+    kmaj, kmin = mt._sort_key(o4, d4, lo, hi)
+    kmaj, kmin = np.asarray(kmaj), np.asarray(kmin)
+    # same octant/origin -> same major key; nearby directions -> closer minor
+    assert kmaj[0] == kmaj[1] and kmaj[0] != kmaj[2]
+    assert abs(int(kmin[0]) - int(kmin[1])) < abs(int(kmin[0]) - int(kmin[2]))
