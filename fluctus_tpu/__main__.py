@@ -30,6 +30,13 @@ def main(argv=None):
     ap.add_argument("--tasks", type=int, default=1 << 20,
                     help="wavefront path pool size (wfBufferSize)")
     ap.add_argument("--env", default=None, help="environment map (.hdr)")
+    ap.add_argument("--preview-every", type=int, default=0, metavar="N",
+                    help="in wavefront mode, write a numbered preview frame "
+                    "and print stats every N segments (progressive preview, "
+                    "the headless stand-in for the GL window)")
+    ap.add_argument("--save-state", action="store_true",
+                    help="save the render state (camera/light/flags) per "
+                    "scene hash after rendering (F2 in the reference)")
     ap.add_argument("--settings", default="settings.json")
     ap.add_argument("--benchmark", action="store_true",
                     help="run the fixed benchmark protocol")
@@ -65,7 +72,27 @@ def main(argv=None):
         if args.wavefront > 0:
             r.init_wavefront(args.tasks)
             t0 = time.time()
-            r.render_wavefront(args.wavefront)
+            done = 0
+            frame = 0
+            chunk = args.preview_every or args.wavefront
+            while done < args.wavefront:
+                n = min(chunk, args.wavefront - done)
+                r.render_wavefront(n)
+                done += n
+                if args.preview_every and done < args.wavefront:
+                    # progressive preview: numbered frame + 1 Hz-style stats
+                    # (Tracer::update display loop, tracer.cpp:184-200)
+                    frame += 1
+                    r.film = r.wavefront_film()
+                    fpath = f"{os.path.splitext(out)[0]}_f{frame:04d}.png"
+                    r.save_image(fpath)
+                    dt = time.time() - t0
+                    st = r.wavefront_stats()
+                    tot = (int(st.primary_rays) + int(st.extension_rays)
+                           + int(st.shadow_rays)) / (1e6 * dt)
+                    spp = float(r.film.weight.mean())
+                    print(f"  [{done}/{args.wavefront}] {dt:6.1f}s "
+                          f"{tot:6.1f} MRays/s  avg spp {spp:.1f}  -> {fpath}")
             dt = time.time() - t0
             st = r.wavefront_stats()
             total = (int(st.primary_rays) + int(st.extension_rays)
@@ -85,6 +112,8 @@ def main(argv=None):
         r.save_image(out)
         r.save_image(os.path.splitext(out)[0] + ".hdr")
         print(f"wrote {out}")
+        if args.save_state:
+            print(f"saved state: {r.save_state()}")
     return 0
 
 

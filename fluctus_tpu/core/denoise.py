@@ -26,8 +26,8 @@ def _shift2d(img, dy, dx):
 
 
 def atrous_denoise(color: jnp.ndarray, albedo: Optional[jnp.ndarray] = None,
-                   normal: Optional[jnp.ndarray] = None, iterations: int = 3,
-                   sigma_color: float = 0.25, sigma_albedo: float = 0.2,
+                   normal: Optional[jnp.ndarray] = None, iterations: int = 2,
+                   sigma_color: float = 4.0, sigma_albedo: float = 0.2,
                    sigma_normal: float = 0.3, blend: float = 1.0):
     """color: [H, W, 3] HDR radiance. Returns denoised [H, W, 3].
 

@@ -41,6 +41,23 @@ class Film(NamedTuple):
         return Film(Vec3.zeros(num_pixels), jnp.zeros(num_pixels, jnp.float32))
 
 
+class FeatureFilm(NamedTuple):
+    """Denoiser guide buffers (the reference's denoiserAlbedo /
+    denoiserNormal PBOs, clcontext.cpp:337-402): per-pixel accumulated
+    first-diffuse-hit albedo and first-hit camera-space normal, each with
+    its own accumulation weight."""
+    albedo: Vec3
+    albedo_w: jnp.ndarray
+    normal: Vec3
+    normal_w: jnp.ndarray
+
+    @staticmethod
+    def zeros(num_pixels: int) -> "FeatureFilm":
+        z = jnp.zeros(num_pixels, jnp.float32)
+        return FeatureFilm(Vec3.zeros(num_pixels), z,
+                           Vec3.zeros(num_pixels), z)
+
+
 class RenderStats(NamedTuple):
     """Counter pytree (geom.h:279-285 analogue); scalars, psum-able."""
     primary_rays: jnp.ndarray
@@ -61,8 +78,10 @@ class RenderStats(NamedTuple):
 
 
 def render_sample(scene: DeviceScene, params: RenderParams, film: Film,
-                  seed, config: RenderConfig):
-    """One sample per pixel. Returns (film, seed, stats).
+                  seed, config: RenderConfig, features: FeatureFilm = None):
+    """One sample per pixel. Returns (film, seed, stats), plus the updated
+    ``features`` when ``config.denoiser`` is set (guide-buffer accumulation,
+    wf_logic.cl:214-237 semantics on the microkernel path).
 
     Jit with config static: e.g. ``jax.jit(render_sample,
     static_argnames="config")``.
@@ -86,6 +105,11 @@ def render_sample(scene: DeviceScene, params: RenderParams, film: Film,
         shadow_count=jnp.zeros((), jnp.int32),
         ext_count=jnp.zeros((), jnp.int32),
     )
+    if cfg.denoiser:
+        state.update(
+            first_diffuse=jnp.zeros(n, bool),
+            feat_albedo=Vec3.zeros(n), feat_albedo_w=jnp.zeros(n, jnp.float32),
+            feat_normal=Vec3.zeros(n), feat_normal_w=jnp.zeros(n, jnp.float32))
 
     def bounce(b, s):
         path_len = b + 1  # nextVertex increments before the implicit logic
@@ -145,6 +169,27 @@ def render_sample(scene: DeviceScene, params: RenderParams, film: Film,
 
         singular = (sp.type & bx.BXDF_SINGULAR_MASK) != 0
         shadow_count = s["shadow_count"]
+
+        # ---- denoiser guide features (wf_logic.cl:214-237) ----------------
+        feat = {}
+        if cfg.denoiser:
+            cam = params.camera
+            # first-hit normal rotated into camera space: rows right/up/-dir
+            nm = alive & (path_len == 1)
+            cs = Vec3(dot(cam.right, nrm), dot(cam.up, nrm),
+                      -dot(cam.dir, nrm))
+            # first NON-singular hit: albedo (linear-space Kd; the reference
+            # feeds raw sRGB Kd — a per-channel monotonic remap, equivalent
+            # as an edge guide)
+            am = alive & ~singular & ~s["first_diffuse"]
+            feat = dict(
+                first_diffuse=s["first_diffuse"] | (alive & ~singular),
+                feat_albedo=vwhere(am, s["feat_albedo"] + sp.Kd,
+                                   s["feat_albedo"]),
+                feat_albedo_w=s["feat_albedo_w"] + am.astype(jnp.float32),
+                feat_normal=vwhere(nm, s["feat_normal"] + cs,
+                                   s["feat_normal"]),
+                feat_normal_w=s["feat_normal_w"] + nm.astype(jnp.float32))
 
         if cfg.sample_expl:
             do_nee = alive & ~singular
@@ -225,6 +270,7 @@ def render_sample(scene: DeviceScene, params: RenderParams, film: Film,
             last_specular=jnp.where(alive, singular, s["last_specular"]),
             shadow_count=shadow_count,
             ext_count=s_ext,
+            **feat,
         )
 
     if cfg.unroll_bounces:
@@ -243,4 +289,12 @@ def render_sample(scene: DeviceScene, params: RenderParams, film: Film,
         extension_rays=out["ext_count"] - n,
         shadow_rays=out["shadow_count"],
         samples=jnp.asarray(n, jnp.int32))
+    if cfg.denoiser:
+        features = features or FeatureFilm.zeros(n)
+        features = FeatureFilm(
+            albedo=features.albedo + out["feat_albedo"],
+            albedo_w=features.albedo_w + out["feat_albedo_w"],
+            normal=features.normal + out["feat_normal"],
+            normal_w=features.normal_w + out["feat_normal_w"])
+        return film, out["seed"], stats, features
     return film, out["seed"], stats

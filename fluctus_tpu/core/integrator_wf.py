@@ -45,7 +45,7 @@ from ..rng import rand
 from ..sampling import pdf_area_to_solid_angle, sample_area_light
 from ..vec import Vec3, dot, is_zero, length, luminance, where as vwhere
 from .camera import generate_camera_rays
-from .integrator_mk import Film
+from .integrator_mk import FeatureFilm, Film
 from .trace import (DeviceScene, tangent_space_normal, trace_extension,
                     trace_shadow)
 
@@ -74,6 +74,7 @@ class WfPool(NamedTuple):
     last_cos_th: jnp.ndarray
     last_light_pick: jnp.ndarray
     shadow_len: jnp.ndarray
+    first_diffuse_hit: Optional[jnp.ndarray] = None  # bool, denoiser only
 
 
 class WfState(NamedTuple):
@@ -81,6 +82,7 @@ class WfState(NamedTuple):
     film: Film
     spp: jnp.ndarray          # [num_pixels] int32 samples per pixel
     curr_pixel: jnp.ndarray   # scalar int32 ring cursor
+    features: Optional[FeatureFilm] = None  # denoiser guide buffers
 
 
 class WfCounters(NamedTuple):
@@ -111,10 +113,13 @@ def wf_reset(config: RenderConfig, num_tasks: int, world_radius=1.0) -> WfState:
         pixel_index=jnp.zeros(n, jnp.int32),
         last_pdf_direct=z, last_pdf_implicit=z, last_cos_th=z,
         last_light_pick=jnp.ones(n, jnp.float32),
-        shadow_len=jnp.full(n, 2.0 * world_radius, jnp.float32))
+        shadow_len=jnp.full(n, 2.0 * world_radius, jnp.float32),
+        first_diffuse_hit=(jnp.zeros(n, bool) if config.denoiser else None))
     return WfState(pool=pool, film=Film.zeros(config.num_pixels),
                    spp=jnp.zeros(config.num_pixels, jnp.int32),
-                   curr_pixel=jnp.zeros((), jnp.int32))
+                   curr_pixel=jnp.zeros((), jnp.int32),
+                   features=(FeatureFilm.zeros(config.num_pixels)
+                             if config.denoiser else None))
 
 
 def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
@@ -267,6 +272,35 @@ def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
     nee_orig = hit.P - pool.dir * 1e-3
 
     singular = (sp.type & bx.BXDF_SINGULAR_MASK) != 0
+
+    # ---- denoiser guide features (wf_logic.cl:214-237) --------------------
+    features = state.features
+    first_diffuse = pool.first_diffuse_hit
+    if cfg.denoiser:
+        cam = params.camera
+        nm = alive & (plen == 1)   # first hit: camera-space normal
+        cs = Vec3(dot(cam.right, nrm), dot(cam.up, nrm), -dot(cam.dir, nrm))
+        am = alive & ~singular & ~first_diffuse   # first non-singular hit
+        first_diffuse = jnp.where(terminate, False,
+                                  first_diffuse | (alive & ~singular))
+        fseg = jnp.where(nm | am, pool.pixel_index - pixel_base, num_pixels)
+        fdata = jnp.stack([
+            jnp.where(am, sp.Kd.x, 0.0), jnp.where(am, sp.Kd.y, 0.0),
+            jnp.where(am, sp.Kd.z, 0.0), am.astype(jnp.float32),
+            jnp.where(nm, cs.x, 0.0), jnp.where(nm, cs.y, 0.0),
+            jnp.where(nm, cs.z, 0.0), nm.astype(jnp.float32)], axis=1)
+        facc = jax.ops.segment_sum(fdata, fseg,
+                                   num_segments=num_pixels + 1)[:num_pixels]
+        features = FeatureFilm(
+            albedo=Vec3(features.albedo.x + facc[:, 0],
+                        features.albedo.y + facc[:, 1],
+                        features.albedo.z + facc[:, 2]),
+            albedo_w=features.albedo_w + facc[:, 3],
+            normal=Vec3(features.normal.x + facc[:, 4],
+                        features.normal.y + facc[:, 5],
+                        features.normal.z + facc[:, 6]),
+            normal_w=features.normal_w + facc[:, 7])
+
     shadow_pending = jnp.zeros(n, bool)
     shadow_orig, shadow_dir = pool.shadow_orig, pool.shadow_dir
     shadow_len = pool.shadow_len
@@ -374,7 +408,8 @@ def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
         pixel_index=pixel_index,
         last_pdf_direct=l_pdf_direct, last_pdf_implicit=l_pdf_implicit,
         last_cos_th=l_cos_th, last_light_pick=l_pick,
-        shadow_len=shadow_len)
+        shadow_len=shadow_len,
+        first_diffuse_hit=first_diffuse)
 
     counters = WfCounters(
         raygen=n_regen,
@@ -384,5 +419,6 @@ def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
 
     new_state = WfState(pool=new_pool, film=film, spp=spp_counts,
                         curr_pixel=jnp.mod(state.curr_pixel + n_regen,
-                                           num_pixels))
+                                           num_pixels),
+                        features=features)
     return new_state, counters

@@ -104,6 +104,10 @@ class RenderConfig:
     # Single-gather env-map path (RGBE-packed nearest lookup + derived pdf).
     # Preferred on TPU where every random gather costs ~7 ns/element.
     fast_env: bool = False
+    # Accumulate denoiser guide features (first-hit camera-space normal +
+    # first-diffuse-hit albedo, wf_logic.cl:214-237). Static gate like the
+    # reference's USE_OPTIX_DENOISER define: off = zero cost.
+    denoiser: bool = False
 
     @property
     def num_pixels(self) -> int:

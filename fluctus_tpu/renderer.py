@@ -48,10 +48,13 @@ class Renderer:
         self.film: Optional[Film] = None
         self.seed = None
         self.stats = RenderStats.zeros()
+        self.env_map_strength = 1.0
+        self.exposure = 1.0
         self._jit_sample = jax.jit(render_sample, static_argnames="config")
 
     # -- scene lifecycle (Tracer::init) -------------------------------------
-    def load_scene(self, scene_file: str, env_map: Optional[str] = None):
+    def load_scene(self, scene_file: str, env_map: Optional[str] = None,
+                   use_saved_state: bool = True):
         s = self.settings
         scene = Scene()
         scene.load_model(scene_file)
@@ -68,6 +71,16 @@ class Renderer:
             c = self.settings.camera
             c.pos, c.dir, c.up, c.right = co.pos, co.dir, co.up, co.right
             c.fov = co.fov
+
+        # per-scene render state (Tracer::init -> loadState, tracer.cpp:74,
+        # 1092-1095): camera, area light, flags, exposure restored from
+        # data/states/state_<hash>.dat when present
+        from . import state_io
+        spath = state_io.state_path(self.data_dir, scene.hash)
+        if use_saved_state and scene.hash and os.path.exists(spath):
+            self.env_map_strength, self.exposure = state_io.load_state(spath, s)
+            use_env = s.use_env_map
+            print(f"Loaded render state: {spath}")
 
         bvh = self._init_hierarchy(scene)
         self.world_radius = scene.world_radius()
@@ -103,7 +116,8 @@ class Renderer:
             material_types=scene.material_types,
             backend="mxu" if on_tpu else "jax",
             unroll_bounces=on_tpu,
-            fast_env=on_tpu)
+            fast_env=on_tpu,
+            denoiser=s.use_denoiser)
         self.params = self._make_params()
         self.reset()
 
@@ -143,26 +157,43 @@ class Renderer:
         light = AreaLight.make(a.pos, a.N, a.right, a.up, a.E, a.size)
         return RenderParams(
             camera=cam, area_light=light,
-            env_map_strength=jnp.float32(1.0),
+            env_map_strength=jnp.float32(self.env_map_strength),
             world_radius=jnp.float32(self.world_radius),
-            pp=PostProcessParams(exposure=jnp.float32(1.0),
+            pp=PostProcessParams(exposure=jnp.float32(self.exposure),
                                  tm_operator=jnp.int32(s.tonemap)))
+
+    def save_state(self):
+        """Persist camera/light/flags per scene hash (Tracer::saveState,
+        tracer.cpp:1087-1090; bound to F2 in the reference)."""
+        from . import state_io
+        path = state_io.state_path(self.data_dir, self.scene.hash)
+        state_io.save_state(path, self.settings, self.env_map_strength,
+                            self.exposure)
+        return path
 
     # -- rendering -----------------------------------------------------------
     def reset(self):
         """Accumulation reset (wf_reset analogue)."""
+        from .core.integrator_mk import FeatureFilm
         n = self.config.num_pixels
         self.film = Film.zeros(n)
         self.seed = jnp.arange(n, dtype=jnp.uint32)
         self.stats = RenderStats.zeros()
+        self.features = (FeatureFilm.zeros(n) if self.config.denoiser
+                         else None)
 
     def render_single(self, spp: int, progress: bool = False):
         """Exact-spp batch render (Tracer::renderSingle). RR is forced off,
         like the reference (tracer.cpp:112-121)."""
         cfg = self.config.replace(use_roulette=False)
         for sample in range(spp):
-            self.film, self.seed, st = self._jit_sample(
-                self.device_scene, self.params, self.film, self.seed, cfg)
+            if cfg.denoiser:
+                self.film, self.seed, st, self.features = self._jit_sample(
+                    self.device_scene, self.params, self.film, self.seed,
+                    cfg, self.features)
+            else:
+                self.film, self.seed, st = self._jit_sample(
+                    self.device_scene, self.params, self.film, self.seed, cfg)
             self.stats = self.stats + st
             if progress and sample % 10 == 0:
                 print(f"\rRendered: {sample}/{spp}", end="", flush=True)
@@ -215,6 +246,8 @@ class Renderer:
                            jnp.int32(samp))
 
     def wavefront_film(self):
+        if self._wf_state.features is not None:
+            self.features = self._wf_state.features
         return self._wf_state.film
 
     def render_single_wavefront(self, spp: int,
@@ -243,6 +276,8 @@ class Renderer:
         self.film = state.film
         self._wf_state = state
         self._wf_counters = counters
+        if state.features is not None:
+            self.features = state.features
         st = self.wavefront_stats()
         self.stats = self.stats + st
         return state.film
@@ -270,6 +305,59 @@ class Renderer:
             save_hdr(path, self.hdr_image())
         else:
             save_png(path, self.ldr_image())
+
+    # -- denoiser (OptixDenoiser stand-in; tracer.cpp:339-356 gating) ---------
+    def _vec_image(self, v3, w) -> np.ndarray:
+        """Accumulated Vec3 buffer -> [H, W, 3] average image (top-first)."""
+        wc = np.maximum(np.asarray(w), 1e-30)
+        arr = np.stack([np.asarray(v3.x) / wc, np.asarray(v3.y) / wc,
+                        np.asarray(v3.z) / wc], axis=-1)
+        return arr.reshape(self.height, self.width, 3)[::-1]
+
+    def feature_images(self):
+        """Denoiser guide buffers as images: (albedo, normal), each
+        [H, W, 3] (the denoiserAlbedo/denoiserNormal PBO contents)."""
+        f = self.features
+        if f is None:
+            raise RuntimeError("denoiser features not accumulated; set "
+                               "settings.use_denoiser before load_scene")
+        # wavefront path may leave features on sharded devices; pull local
+        return (self._vec_image(f.albedo, f.albedo_w),
+                self._vec_image(f.normal, f.normal_w))
+
+    def denoised_image(self, blend: Optional[float] = None) -> np.ndarray:
+        """Edge-aware denoise of the current HDR film guided by the
+        accumulated albedo/normal features (DenoiserOptix::denoise +
+        setBlend). Returns [H, W, 3] HDR."""
+        from .core.denoise import atrous_denoise
+        blend = self.settings.denoiser_blend if blend is None else blend
+        hdr = jnp.asarray(self.hdr_image())
+        albedo = normal = None
+        if self.features is not None:
+            a, nrm = self.feature_images()
+            albedo = jnp.asarray(a)
+            normal = jnp.asarray(nrm)
+        return np.asarray(atrous_denoise(hdr, albedo, normal, blend=blend))
+
+    def save_denoised(self, path: str, blend: Optional[float] = None):
+        """renderSingle's denoised output (tracer.cpp:173-178)."""
+        img = self.denoised_image(blend)
+        if path.endswith(".hdr"):
+            save_hdr(path, img)
+        else:
+            from .core.tonemap import postprocess
+            n = img.shape[0] * img.shape[1]
+            flat = img[::-1].reshape(n, 3)
+            rgb = postprocess(
+                Vec3(jnp.asarray(flat[:, 0]), jnp.asarray(flat[:, 1]),
+                     jnp.asarray(flat[:, 2])),
+                jnp.ones(n, jnp.float32),
+                self.params.pp.exposure, self.params.pp.tm_operator)
+            arr = np.stack([np.asarray(rgb.x), np.asarray(rgb.y),
+                            np.asarray(rgb.z)], axis=-1)
+            arr = np.clip(arr.reshape(self.height, self.width, 3)[::-1],
+                          0.0, 1.0)
+            save_png(path, arr)
 
     # -- picking (kernel_pick.cl / Tracer::pickDofDepth) ----------------------
     def pick_single(self, ndc_x: float, ndc_y: float):

@@ -78,6 +78,10 @@ class Settings:
     use_env_map: bool = False
     use_area_light: bool = True
     tonemap: int = 2                # UC2 default (settings.cpp:39)
+    # Denoiser (the reference gates via the WITH_OPTIX build + useDenoiser
+    # runtime flag; here one settings flag enables guide-feature accumulation)
+    use_denoiser: bool = False
+    denoiser_blend: float = 1.0     # 0 = original, 1 = fully denoised
     shortcuts: Dict[int, str] = dataclasses.field(default_factory=dict)
     camera: CameraSettings = dataclasses.field(default_factory=CameraSettings)
     area_light: AreaLightSettings = dataclasses.field(
