@@ -73,7 +73,16 @@ ATTR_TRI = 25     # original triangle index (float-exact below 2^24)
 ATTR_HITU = 26    # barycentric u of the hit (written by the resolve kernel)
 ATTR_HITV = 27
 ATTR_HITT = 28    # exact hit t (recomputed from the winner transform)
-ATTR_COLS = 32    # padded
+# baked texture descriptors (atlas metadata resolved at build time — kills
+# the 3 per-map w/h/offset gathers per segment): wh = w*4096 + h (exact in
+# f32 below 2^24), off = first texel index (must be < 2^24)
+ATTR_TKD_WH = 29
+ATTR_TKD_OFF = 30
+ATTR_TKS_WH = 31
+ATTR_TKS_OFF = 32
+ATTR_TN_WH = 33
+ATTR_TN_OFF = 34
+ATTR_COLS = 40    # padded
 
 
 # ---------------------------------------------------------------------------
@@ -146,15 +155,20 @@ class MXUScene:
     # static
     n_clusters: int = dataclasses.field(metadata=dict(static=True), default=1)
     cluster_size: int = dataclasses.field(metadata=dict(static=True), default=256)
+    # whether attrs carry baked atlas descriptors (ATTR_T*_WH/OFF columns)
+    has_tex_meta: bool = dataclasses.field(metadata=dict(static=True),
+                                           default=False)
 
     @staticmethod
     def build(positions: np.ndarray, bvh: BVHArrays,
               cluster_size: int = 256, normals: Optional[np.ndarray] = None,
               uvs: Optional[np.ndarray] = None,
               mat_ids: Optional[np.ndarray] = None,
-              materials=None) -> "MXUScene":
+              materials=None, atlas=None) -> "MXUScene":
         """positions: [M,3,3] world-space triangle vertices. materials:
-        optional list of HostMaterial — baked per-triangle into attrs."""
+        optional list of HostMaterial — baked per-triangle into attrs.
+        atlas: optional TextureAtlas whose per-texture w/h/offset descriptors
+        are baked per-triangle (texture metadata then costs zero gathers)."""
         p = np.asarray(positions, np.float64)
         lo = p.reshape(-1, 3).min(0)
         hi = p.reshape(-1, 3).max(0)
@@ -225,6 +239,28 @@ class MXUScene:
                     a[:, :, ATTR_MAP_KD] = col(lambda m: m.map_Kd)[:, None]
                     a[:, :, ATTR_MAP_KS] = col(lambda m: m.map_Ks)[:, None]
                     a[:, :, ATTR_MAP_N] = col(lambda m: m.map_N)[:, None]
+                    if atlas is not None and getattr(atlas, "count", 0) > 0:
+                        tw = np.asarray(atlas.width)
+                        th = np.asarray(atlas.height)
+                        toff = np.asarray(atlas.offset)
+                        assert tw.max() < 4096 and th.max() < 4096, \
+                            "texture dims must fit the wh-pack (w,h < 4096)"
+                        assert toff.max() < (1 << 24), \
+                            "atlas offsets must be f32-exact (< 2^24)"
+
+                        def meta(get, wh_col, off_col):
+                            ti = np.array([get(materials[i]) for i in
+                                           range(len(materials))],
+                                          np.int32)[mid]
+                            ok_t = ti >= 0
+                            ts = np.maximum(ti, 0)
+                            wh = np.where(ok_t, tw[ts] * 4096 + th[ts], 0)
+                            of = np.where(ok_t, toff[ts], 0)
+                            a[:, :, wh_col] = wh.astype(np.float32)[:, None]
+                            a[:, :, off_col] = of.astype(np.float32)[:, None]
+                        meta(lambda m: m.map_Kd, ATTR_TKD_WH, ATTR_TKD_OFF)
+                        meta(lambda m: m.map_Ks, ATTR_TKS_WH, ATTR_TKS_OFF)
+                        meta(lambda m: m.map_N, ATTR_TN_WH, ATTR_TN_OFF)
             a[:, :, ATTR_TRI] = order[:, None].astype(np.float32)
             a[~used] = 0.0
             # row layout: vertex-major within the cluster so the weighted
@@ -249,7 +285,9 @@ class MXUScene:
             tri_map=jnp.asarray(tri_map),
             center=jnp.asarray(center.astype(np.float32)),
             n_clusters=n_clusters,
-            cluster_size=cluster_size)
+            cluster_size=cluster_size,
+            has_tex_meta=(atlas is not None and materials is not None
+                          and getattr(atlas, "count", 0) > 0))
 
 
 # ---------------------------------------------------------------------------
@@ -855,6 +893,125 @@ def _resolve(col, t, o4, d4, txy, attrs, scene_static, ray_tile, interpret):
     )(col, t, o4, d4, txy, attrs)
 
 
+def _winner_lists(col, n_clusters, tc, rt):
+    """Per-ray-tile lists of the clusters that actually WON a ray in the
+    tile (derived from the trace output, plain JAX). Returns
+    [n_tiles, ncl_pad, 1] int32, -1-terminated. The wavefront pool keeps
+    pixel/path locality (ring raygen + in-place continuations), so tiles
+    average only a handful of distinct winner clusters (~5 measured on
+    egyptcat bounce batches) — the resolve kernel then touches just those."""
+    b = col.shape[0]
+    nt = b // rt
+    cl = jnp.where(col[:, 0] >= 0, col[:, 0] // tc, -1).reshape(nt, rt)
+    ids = jnp.arange(n_clusters, dtype=jnp.int32)
+    present = jnp.any(cl[:, :, None] == ids[None, None, :], axis=1)
+    key = jnp.where(present, ids[None, :], jnp.int32(0x7FFFFFFF))
+    skey = jnp.sort(key, axis=1)
+    order = jnp.where(skey == jnp.int32(0x7FFFFFFF), -1, skey)
+    pad = (-n_clusters) % 8
+    if pad:
+        order = jnp.concatenate(
+            [order, jnp.full((nt, pad), -1, jnp.int32)], axis=1)
+    return order.reshape(nt, n_clusters + pad, 1)
+
+
+def _resolve_kernel_v2(col_ref, o_ref, d_ref, ord_ref, txy_ref, attr_ref,
+                       out_ref, *, rt, tc, ncl_pad):
+    """Winner-attribute resolve, v2: ONE grid step per ray tile that walks
+    the tile's winner-cluster list (ord_ref) and dynamically slices the
+    RESIDENT transform/attribute tables on sublanes — no per-(tile,cluster)
+    grid sweep, no HBM re-fetch. Work scales with distinct winner clusters
+    per tile (~5) instead of n_clusters (~64-1200).
+
+    Both one-hot products run at HIGHEST precision (exact f32 selection;
+    Mosaic rejects Precision.HIGH) — affordable because the work now
+    scales with winner clusters, not n_clusters."""
+    out_ref[:] = jnp.zeros((rt, ATTR_COLS), jnp.float32)
+    col = col_ref[:]                      # [rt,1] padded winner column
+    O = o_ref[:]
+    D = d_ref[:]
+
+    def cond(carry):
+        slot, stop = carry
+        return (slot < ncl_pad) & ~stop
+
+    def body(carry):
+        slot, _ = carry
+        c = ord_ref[0, slot, 0]
+
+        @pl.when(c >= 0)
+        def _():
+            local = col - c * tc
+            active = (local >= 0) & (local < tc)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (rt, tc), 1)
+            onehot = ((lane == local) & active).astype(jnp.float32)
+            off1 = pl.multiple_of(c * tc, 128)
+            tw = jnp.dot(onehot, txy_ref[pl.ds(off1, tc), :],
+                         preferred_element_type=jnp.float32,
+                         precision=HIGHEST)            # [rt, 12]
+            oz = jnp.sum(O * tw[:, 8:12], axis=1, keepdims=True)
+            dz = jnp.sum(D * tw[:, 8:12], axis=1, keepdims=True)
+            t = -oz / jnp.where(dz == 0.0, 1.0, dz)
+            ox = jnp.sum(O * tw[:, 0:4], axis=1, keepdims=True)
+            dx = jnp.sum(D * tw[:, 0:4], axis=1, keepdims=True)
+            oy = jnp.sum(O * tw[:, 4:8], axis=1, keepdims=True)
+            dy = jnp.sum(D * tw[:, 4:8], axis=1, keepdims=True)
+            u = ox + t * dx
+            v = oy + t * dy
+            w = jnp.concatenate(
+                [onehot * (1.0 - u - v), onehot * u, onehot * v], axis=1)
+            off3 = pl.multiple_of(c * (3 * tc), 128)
+            res = jnp.dot(w, attr_ref[pl.ds(off3, 3 * tc), :],
+                          preferred_element_type=jnp.float32,
+                          precision=HIGHEST)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (rt, ATTR_COLS), 1)
+            amask = active.astype(jnp.float32)
+            res = res + jnp.where(cols == ATTR_HITU, u * amask, 0.0)
+            res = res + jnp.where(cols == ATTR_HITV, v * amask, 0.0)
+            res = res + jnp.where(cols == ATTR_HITT, t * amask, 0.0)
+            out_ref[:] = out_ref[:] + res
+
+        nxt = slot + 1
+        guard = jnp.minimum(nxt, ncl_pad - 1)
+        return nxt, ord_ref[0, guard, 0] < 0
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), ord_ref[0, 0, 0] < 0))
+
+
+@partial(jax.jit, static_argnames=("scene_static", "ray_tile", "interpret"))
+def _resolve_v2(col, o4, d4, txy, attrs, scene_static, ray_tile, interpret):
+    n_clusters, tc = scene_static
+    rt = ray_tile
+    b = col.shape[0]
+    order = _winner_lists(col, n_clusters, tc, rt)
+    ncl_pad = order.shape[1]
+    kernel = partial(_resolve_kernel_v2, rt=rt, tc=tc, ncl_pad=ncl_pad)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // rt,),
+        in_specs=[
+            pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ncl_pad, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # txy resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # attrs resident
+        ],
+        out_specs=pl.BlockSpec((rt, ATTR_COLS), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, ATTR_COLS), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_RESOLVE_V2_VMEM_BYTES + (16 << 20)),
+        interpret=interpret,
+    )(col, o4, d4, order, txy, attrs)
+
+
+# resident-table resolve needs txy+attrs in VMEM (~128 MB/chip); beyond
+# this the grid-sweep kernel streams blocks from HBM instead
+_RESOLVE_V2_VMEM_BYTES = 48 * (1 << 20)
+
+
 def resolve_hits_mxu(orig: Vec3, d: Vec3, t, col, scene: MXUScene,
                      ray_tile: int = None, interpret: bool = False):
     ray_tile = ray_tile or RAY_TILE
@@ -864,6 +1021,12 @@ def resolve_hits_mxu(orig: Vec3, d: Vec3, t, col, scene: MXUScene,
     n = col.shape[0]
     o4, d4, _ = _ray_inputs(orig, d, scene, None, ray_tile)
     col2, _ = _pad_rays(col.reshape(n, 1), ray_tile)
+    table_bytes = (scene.attrs.size + scene.txy_t.size) * 4
+    if not interpret and table_bytes <= _RESOLVE_V2_VMEM_BYTES:
+        out = _resolve_v2(col2, o4, d4, scene.txy_t, scene.attrs,
+                          (scene.n_clusters, scene.cluster_size), ray_tile,
+                          interpret)
+        return out[:n]
     t2, _ = _pad_rays(t.reshape(n, 1), ray_tile)
     out = _resolve(col2, t2, o4, d4, scene.txy_t, scene.attrs,
                    (scene.n_clusters, scene.cluster_size), ray_tile, interpret)

@@ -49,6 +49,11 @@ class ShadingParams(NamedTuple):
     map_N: jnp.ndarray   # normal-map texture idx (used by hit reconstruction)
     map_Kd: jnp.ndarray  # diffuse/specular texture idx (apply_textures)
     map_Ks: jnp.ndarray
+    # baked atlas descriptors (off, w, h) per lane — present on the MXU
+    # resolve path, where they make texture fetches metadata-gather-free
+    kd_meta: tuple = None
+    ks_meta: tuple = None
+    n_meta: tuple = None
 
 
 def resolve_material(mats: MaterialsSoA, mat_id, uv_u, uv_v, atlas) -> ShadingParams:
@@ -65,16 +70,18 @@ def resolve_material(mats: MaterialsSoA, mat_id, uv_u, uv_v, atlas) -> ShadingPa
 def apply_textures(sp: ShadingParams, uv_u, uv_v, atlas) -> ShadingParams:
     """Overlay Kd/Ks textures onto baked material parameters (used with the
     MXU attribute-resolve path, where constants come gather-free and only
-    actual texels are fetched). No-op for untextured scenes."""
+    actual texels are fetched). No-op for untextured scenes. When the
+    resolve supplied baked atlas descriptors (sp.*_meta), each fetch is a
+    single texel gather — no metadata gathers."""
     if getattr(atlas, "count", 0) == 0:
         return sp
     if getattr(atlas, "has_kd", True):
         kd = mat_get_albedo(Vec3.zeros(sp.alpha.shape), uv_u, uv_v,
-                            sp.map_Kd, atlas)
+                            sp.map_Kd, atlas, meta=sp.kd_meta)
         sp = sp._replace(Kd=vwhere(sp.map_Kd >= 0, kd, sp.Kd))
     if getattr(atlas, "has_ks", True):
         ks = mat_get_float3(Vec3.zeros(sp.alpha.shape), uv_u, uv_v,
-                            sp.map_Ks, atlas)
+                            sp.map_Ks, atlas, meta=sp.ks_meta)
         sp = sp._replace(Ks=vwhere(sp.map_Ks >= 0, ks, sp.Ks))
     return sp
 

@@ -162,7 +162,8 @@ def render_sample(scene: DeviceScene, params: RenderParams, film: Film,
         else:
             sp = resolve_material(scene.mats, hit.mat_id, hit.uv_u, hit.uv_v,
                                   scene.atlas)
-        nrm = tangent_space_normal(hit, scene.tris, sp.map_N, scene.atlas)
+        nrm = tangent_space_normal(hit, scene.tris, sp.map_N, scene.atlas,
+                                   meta=sp.n_meta)
         backface = dot(nrm, s["dir"]) > 0.0
         nrm = vwhere(backface, -nrm, nrm)
         nee_orig = hit.P - s["dir"] * 1e-3

@@ -266,7 +266,8 @@ def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
     else:
         from ..bsdf import apply_textures
         sp = apply_textures(sp, hit.uv_u, hit.uv_v, scene.atlas)
-    nrm = tangent_space_normal(hit, scene.tris, sp.map_N, scene.atlas)
+    nrm = tangent_space_normal(hit, scene.tris, sp.map_N, scene.atlas,
+                               meta=sp.n_meta)
     backface = dot(nrm, pool.dir) > 0.0
     nrm = vwhere(backface, -nrm, nrm)
     nee_orig = hit.P - pool.dir * 1e-3

@@ -78,14 +78,26 @@ def _interpret_pallas() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def shading_from_attrs(row, col):
+def shading_from_attrs(row, col, tex_meta: bool = False):
     """Build ShadingParams from a winner-resolve attribute row
-    (accel/mxu_trace.py ATTR_* layout) — zero gathers."""
+    (accel/mxu_trace.py ATTR_* layout) — zero gathers. With tex_meta, the
+    baked atlas descriptors (wh-pack + offset columns) are unpacked per
+    lane so texel fetches skip the metadata gathers too."""
     from ..accel import mxu_trace as mt
     from ..bsdf import ShadingParams
     g = lambda c: row[:, c]
     v3 = lambda c: Vec3(row[:, c], row[:, c + 1], row[:, c + 2])
     valid = col >= 0
+
+    def meta(wh_col, off_col):
+        if not tex_meta:
+            return None
+        wh = g(wh_col)
+        w = jnp.floor(wh * (1.0 / 4096.0))
+        h = wh - w * 4096.0
+        return ((g(off_col) + 0.5).astype(jnp.int32),
+                (w + 0.5).astype(jnp.int32), (h + 0.5).astype(jnp.int32))
+
     return ShadingParams(
         Kd=v3(mt.ATTR_KD), Ks=v3(mt.ATTR_KS), Ke=v3(mt.ATTR_KE),
         Kt=v3(mt.ATTR_KT), alpha=g(mt.ATTR_NS), Ni=g(mt.ATTR_NI),
@@ -96,7 +108,10 @@ def shading_from_attrs(row, col):
         map_Kd=jnp.where(valid,
                          jnp.round(g(mt.ATTR_MAP_KD)).astype(jnp.int32), -1),
         map_Ks=jnp.where(valid,
-                         jnp.round(g(mt.ATTR_MAP_KS)).astype(jnp.int32), -1))
+                         jnp.round(g(mt.ATTR_MAP_KS)).astype(jnp.int32), -1),
+        kd_meta=meta(mt.ATTR_TKD_WH, mt.ATTR_TKD_OFF),
+        ks_meta=meta(mt.ATTR_TKS_WH, mt.ATTR_TKS_OFF),
+        n_meta=meta(mt.ATTR_TN_WH, mt.ATTR_TN_OFF))
 
 
 def trace_extension(orig: Vec3, d: Vec3, scene: DeviceScene,
@@ -142,7 +157,8 @@ def trace_extension(orig: Vec3, d: Vec3, scene: DeviceScene,
                       t=t, i=tri, area_light_hit=jnp.zeros_like(tri),
                       mat_id=mat_id)
             if want_shading:
-                sp = shading_from_attrs(row, col)
+                sp = shading_from_attrs(row, col,
+                                        tex_meta=scene.mxu.has_tex_meta)
         else:
             t, tri, u, v, col = mt.closest_hit_mxu_full(orig, d, scene.mxu,
                                                         interpret=interp)
@@ -185,7 +201,7 @@ def trace_shadow(orig: Vec3, d: Vec3, max_len, scene: DeviceScene,
 
 
 def tangent_space_normal(hit: Hit, tris: TrianglesDevice,
-                         mats_mapn, atlas) -> Vec3:
+                         mats_mapn, atlas, meta=None) -> Vec3:
     """Normal mapping (utils.cl:174-207). mats_mapn: per-lane map_N idx.
     Statically pruned when the scene has no normal maps."""
     if getattr(atlas, "count", 0) == 0 or not getattr(atlas, "has_n", True):
@@ -194,7 +210,8 @@ def tangent_space_normal(hit: Hit, tris: TrianglesDevice,
     default = Vec3.of(0.5, 0.5, 1.0)
     texn = mat_get_float3(
         Vec3(jnp.full_like(hit.uv_u, 0.5), jnp.full_like(hit.uv_u, 0.5),
-             jnp.ones_like(hit.uv_u)), hit.uv_u, hit.uv_v, mats_mapn, atlas)
+             jnp.ones_like(hit.uv_u)), hit.uv_u, hit.uv_v, mats_mapn, atlas,
+        meta=meta)
     texn = texn + texn - 1.0
 
     safe = jnp.maximum(hit.i, 0)

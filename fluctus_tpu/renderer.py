@@ -93,7 +93,8 @@ class Renderer:
             from .accel.mxu_trace import MXUScene
             p, nrm, uv, mid = scene.triangle_arrays()
             mxu = MXUScene.build(p, bvh, normals=nrm, uvs=uv, mat_ids=mid,
-                                 materials=scene.materials)
+                                 materials=scene.materials,
+                                 atlas=scene.device_textures())
 
         self.device_scene = DeviceScene(
             tris=TrianglesDevice.from_arrays(*scene.triangle_arrays()),
