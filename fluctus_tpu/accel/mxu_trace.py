@@ -91,22 +91,62 @@ ATTR_COLS = 40    # padded
 
 def _cut_clusters(bvh: BVHArrays, cluster_size: int):
     """Cut the BVH into subtrees holding <= cluster_size triangle refs.
-    Returns list of (index_list_slice, bmin, bmax)."""
+    Returns list of (index_list_slice, bmin, bmax).
+
+    Fully vectorized (no per-node Python loop — the old walk was seconds at
+    country_kitchen scale): subtree ref counts converge in <= depth passes
+    of the child recurrence, the cut set is ``count[i] <= cs <
+    count[parent[i]]``, and each cut subtree's leaf refs form a CONTIGUOUS
+    slice of ``indices`` because every builder here appends leaf indices in
+    DFS order — so consecutive cut nodes tile the index array. The slice
+    layout is verified and the code falls back to an explicit walk for
+    foreign caches that violate it."""
+    n_prims = bvh.n_prims.astype(np.int64)
+    right = bvh.right_or_start.astype(np.int64)
+    nn = bvh.num_nodes
+    leaf = n_prims > 0
+    inner = ~leaf
+
+    # subtree ref counts: children have larger indices, so the recurrence
+    # converges bottom-up in at most tree-depth passes (builder cap: 64)
+    counts = np.where(leaf, n_prims, 0)
+    li = np.nonzero(inner)[0]
+    lchild = li + 1
+    rchild = right[li]
+    for _ in range(80):
+        new = counts[lchild] + counts[rchild]
+        if (counts[li] == new).all():
+            break
+        counts[li] = new
+
+    cut_ok = counts <= cluster_size
+    parent = bvh.parent.astype(np.int64)
+    pbig = np.where(parent >= 0, ~cut_ok[np.maximum(parent, 0)], True)
+    cut = np.nonzero(cut_ok & pbig)[0]
+
+    # first leaf start at-or-after each node (leaf starts increase in DFS
+    # node order); consecutive cut slices then tile `indices`
+    leaf_start = np.where(leaf, right, np.iinfo(np.int64).max)
+    lo_all = np.minimum.accumulate(leaf_start[::-1])[::-1]
+    lo = lo_all[cut]
+    hi = np.append(lo[1:], len(bvh.indices))
+
+    good = (lo[0] == 0 and (hi >= lo).all()
+            and (hi - lo == counts[cut]).all())
+    if not good:  # foreign cache with non-DFS leaf order
+        return _cut_clusters_walk(bvh, cluster_size, counts)
+    return [(bvh.indices[lo[j]:hi[j]], bvh.box_min[i], bvh.box_max[i])
+            for j, i in enumerate(cut)]
+
+
+def _cut_clusters_walk(bvh: BVHArrays, cluster_size: int, counts):
+    """Explicit-stack fallback for caches whose leaf slices aren't DFS-
+    contiguous."""
     n_prims = bvh.n_prims
     right = bvh.right_or_start
-    # subtree ref counts via post-order accumulation
-    counts = np.zeros(bvh.num_nodes, np.int64)
-    order = np.argsort(-np.arange(bvh.num_nodes))  # reverse index order
-    for i in range(bvh.num_nodes - 1, -1, -1):
-        if n_prims[i] > 0:
-            counts[i] = n_prims[i]
-        else:
-            counts[i] = counts[i + 1] + counts[right[i]]
-
     clusters = []
 
     def leaves_of(i):
-        """Collect (start, count) leaf slices under node i (iterative)."""
         out = []
         stack = [i]
         while stack:

@@ -160,7 +160,10 @@ def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
     hit, sp = res
     plen = pool.path_len + 1
 
-    occluded = trace_shadow(pool.shadow_orig, pool.shadow_dir, pool.shadow_len,
+    # non-pending lanes get tmax=0: the coherence sort pushes them to the
+    # tail tiles, whose candidate lists are empty -> near-free occupancy cut
+    shadow_tmax = jnp.where(pool.shadow_pending, pool.shadow_len, 0.0)
+    occluded = trace_shadow(pool.shadow_orig, pool.shadow_dir, shadow_tmax,
                             scene, light, jnp.asarray(cfg.use_area_light))
     shadow_blocked = jnp.where(pool.shadow_pending, occluded, True)
 

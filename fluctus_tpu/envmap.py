@@ -12,6 +12,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from . import rgbe
+from .texture_fetch import take_u32
 from .vec import Vec3
 
 PI = np.float32(np.pi)
@@ -261,13 +262,13 @@ def _pdf_from_lum(env: EnvMapTables, lum, iv):
 def eval_env_map_dir_fast(env: EnvMapTables, d: Vec3) -> Vec3:
     """Nearest-neighbor RGBE lookup: one gather."""
     idx, _ = _texel_index(env, d)
-    return _decode_rgbe(jnp.take(env.packed, idx))
+    return _decode_rgbe(take_u32(env.packed, idx))
 
 
 def eval_env_and_pdf_fast(env: EnvMapTables, d: Vec3):
     """Radiance + MIS pdf from the same single gather."""
     idx, iv = _texel_index(env, d)
-    li = _decode_rgbe(jnp.take(env.packed, idx))
+    li = _decode_rgbe(take_u32(env.packed, idx))
     lum = 0.212671 * li.x + 0.715160 * li.y + 0.072169 * li.z
     import jax.lax as lax
     pdf = _pdf_from_lum(env, lum, iv) * lax.rsqrt(
@@ -285,14 +286,14 @@ def sample_env_map_alias_fast(env: EnvMapTables, rnd):
     wh = w * h
     r = rnd * wh
     i = jnp.minimum(jnp.floor(r).astype(jnp.int32), wh - 1)
-    pa = jnp.take(env.prob_alias, i)
+    pa = take_u32(env.prob_alias, i)
     m_prob = ((pa >> 18) & 0x3FFF).astype(jnp.float32) * (1.0 / 16383.0)
     alias = (pa & 0x3FFFF).astype(jnp.int32)
     uv_ind = jnp.where(r - i.astype(jnp.float32) < m_prob, i, alias)
     u = (jnp.mod(uv_ind, w).astype(jnp.float32) + 0.5) / w
     v = (uv_ind.astype(jnp.float32) + 0.5) / wh
     L, sin_th = uv_to_direction(u, v)
-    li = _decode_rgbe(jnp.take(env.packed, uv_ind))
+    li = _decode_rgbe(take_u32(env.packed, uv_ind))
     lum = 0.212671 * li.x + 0.715160 * li.y + 0.072169 * li.z
     iv = uv_ind // w
     pdf = jnp.where(sin_th != 0.0,

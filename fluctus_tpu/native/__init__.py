@@ -52,6 +52,13 @@ def get_lib():
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint32)]
+        lib.flsbvh_build.restype = ctypes.c_int64
+        lib.flsbvh_build.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32]
+        lib.flsbvh_num_indices.restype = ctypes.c_int64
+        lib.flsbvh_stats.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+        lib.flsbvh_read.argtypes = lib.flbvh_read.argtypes
         _lib = lib
         return _lib
 
@@ -76,6 +83,44 @@ def build_bvh_native(positions: np.ndarray):
     nprims = np.empty(n_nodes, np.uint8)
     indices = np.empty(n_idx, np.uint32)
     lib.flbvh_read(
+        box_min.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        box_max.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        right.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        parent.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        nprims.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return BVHArrays(box_min, box_max, right, parent, nprims, indices)
+
+
+def build_sbvh_native(positions: np.ndarray, max_leaf: int = 8,
+                      verbose: bool = True):
+    """Spatial-split BVH (sbvh.cpp semantics) built natively.
+    positions [M,3,3] -> BVHArrays, or None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..accel.bvh import BVHArrays
+
+    tris = np.ascontiguousarray(positions.reshape(-1, 9), np.float32)
+    m = tris.shape[0]
+    fp = tris.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    n_nodes = lib.flsbvh_build(fp, m, max_leaf)
+    n_idx = lib.flsbvh_num_indices()
+    if verbose:
+        n_spatial = ctypes.c_int64()
+        n_dup = ctypes.c_int64()
+        lib.flsbvh_stats(ctypes.byref(n_spatial), ctypes.byref(n_dup))
+        print(f"SBVH(native): {n_nodes} nodes ({n_spatial.value} spatial "
+              f"splits), {n_dup.value} duplicates "
+              f"({n_dup.value * 100.0 / max(m, 1):.1f}%)")
+
+    box_min = np.empty((n_nodes, 3), np.float32)
+    box_max = np.empty((n_nodes, 3), np.float32)
+    right = np.empty(n_nodes, np.uint32)
+    parent = np.empty(n_nodes, np.int32)
+    nprims = np.empty(n_nodes, np.uint8)
+    indices = np.empty(n_idx, np.uint32)
+    lib.flsbvh_read(
         box_min.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         box_max.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         right.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),

@@ -126,7 +126,9 @@ class Renderer:
         """BVH build with binary cache (Tracer::initHierarchy,
         tracer.cpp:934-952)."""
         cache_dir = os.path.join(self.data_dir, "hierarchies")
-        cache = os.path.join(cache_dir, f"hierarchy_{scene.hash}.bin")
+        sbvh = getattr(self.settings, "split_mode", "sah") == "sbvh"
+        tag = "_sbvh" if sbvh else ""
+        cache = os.path.join(cache_dir, f"hierarchy_{scene.hash}{tag}.bin")
         if scene.hash and os.path.exists(cache):
             t0 = time.time()
             bvh = import_bvh(cache)
@@ -135,7 +137,13 @@ class Renderer:
         t0 = time.time()
         p, _, _, _ = scene.triangle_arrays()
         bvh = None
-        if p.shape[0] > 20000:
+        if sbvh:
+            from .native import build_sbvh_native
+            bvh = build_sbvh_native(p)
+            if bvh is None:                       # no toolchain
+                from .accel.sbvh import build_sbvh
+                bvh = build_sbvh(p)
+        elif p.shape[0] > 20000:
             # large scenes: the native C++ SAH builder (same algorithm)
             from .native import build_bvh_native
             bvh = build_bvh_native(p)

@@ -82,6 +82,9 @@ class Settings:
     # runtime flag; here one settings flag enables guide-feature accumulation)
     use_denoiser: bool = False
     denoiser_blend: float = 1.0     # 0 = original, 1 = fully denoised
+    # hierarchy builder: "sah" (tracer.cpp:949 default) or "sbvh"
+    # (spatial splits, SBVH class tracer.cpp:1120-1124)
+    split_mode: str = "sah"
     shortcuts: Dict[int, str] = dataclasses.field(default_factory=dict)
     camera: CameraSettings = dataclasses.field(default_factory=CameraSettings)
     area_light: AreaLightSettings = dataclasses.field(
@@ -110,6 +113,7 @@ class Settings:
         self.render_scale = g("renderScale", self.render_scale)
         self.window_width = g("windowWidth", self.window_width)
         self.window_height = g("windowHeight", self.window_height)
+        self.split_mode = g("splitMode", self.split_mode)
         self.use_bitstack = g("clUseBitstack", self.use_bitstack)
         self.use_soa = g("clUseSoA", self.use_soa)
         self.wf_buffer_size = g("wfBufferSize", self.wf_buffer_size)

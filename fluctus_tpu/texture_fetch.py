@@ -8,12 +8,22 @@ to the constant fallback color too; reproduced). One uint32 gather per texel.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .scene.texture import TextureAtlas
 from .vec import Vec3, where as vwhere
 
 ONE_255 = jnp.float32(1.0 / 255.0)
+
+
+def take_u32(table, idx):
+    """jnp.take from a uint32 table via an int32 bitcast. On this TPU a
+    gather whose table is uint32 stages operands ~4x slower than int32
+    (130 ms vs 30 ms @1M measured); the bitcast is free and keeps the
+    fast path."""
+    s = jax.lax.bitcast_convert_type(table, jnp.int32)
+    return jax.lax.bitcast_convert_type(jnp.take(s, idx), jnp.uint32)
 
 
 def _fetch_texel(texels, off, w, h, u, v) -> Vec3:
@@ -28,7 +38,7 @@ def _fetch_texel(texels, off, w, h, u, v) -> Vec3:
     tx = jnp.clip(tx, 0, w - 1)
     ty = jnp.clip(ty, 0, h - 1)
 
-    texel = jnp.take(texels, off + ty * w + tx)
+    texel = take_u32(texels, off + ty * w + tx)
     r = (texel & 0xFF).astype(jnp.float32) * ONE_255
     g = ((texel >> 8) & 0xFF).astype(jnp.float32) * ONE_255
     b = ((texel >> 16) & 0xFF).astype(jnp.float32) * ONE_255
