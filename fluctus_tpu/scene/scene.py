@@ -111,7 +111,16 @@ class Scene:
             load_ply(filename, self, transform)
         elif filename.endswith(".pbrt"):
             from .pbrt_loader import load_pbrt
-            load_pbrt(filename, self, transform)
+            # binary parse cache (.pbf analogue, scene.cpp:486-519) — only
+            # for a whole-scene load into a fresh container
+            fresh = (transform is None and self.num_triangles == 0
+                     and len(self.materials) == 1)
+            h = file_hash(filename) if fresh else ""
+            from . import pbrt_cache
+            if not (fresh and pbrt_cache.load_cache(filename, h, self)):
+                load_pbrt(filename, self, transform)
+                if fresh:
+                    pbrt_cache.save_cache(filename, h, self)
         elif filename.endswith(".sc.json"):
             self.load_scene_file(filename)
         else:

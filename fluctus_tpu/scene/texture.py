@@ -22,6 +22,7 @@ class HostTexture:
         # (DevIL's IL_ORIGIN_LOWER_LEFT default matches this flip).
         self.data = rgba[::-1].copy()
         self.name = name
+        self.path = path
         self.height, self.width = rgba.shape[:2]
 
 

@@ -95,3 +95,36 @@ def test_pbrt_render_smoke(tmp_path):
     r.render_single(spp=2)
     img = r.hdr_image()
     assert np.isfinite(img).all()
+
+
+def test_pbrt_binary_cache(tmp_path):
+    """Second load of a .pbrt comes from the .flc.npz parse cache
+    (role of .pbf, scene.cpp:486-519) and reproduces the parse exactly;
+    editing the source invalidates it."""
+    from fluctus_tpu.scene import pbrt_cache
+
+    path = tmp_path / "c.pbrt"
+    path.write_text(PBRT_SCENE)
+    s1 = Scene()
+    s1.load_model(str(path))
+    cache = pbrt_cache.cache_path(str(path))
+    import os
+    assert os.path.exists(cache)
+
+    s2 = Scene()
+    s2.load_model(str(path))          # cache hit
+    a1, a2 = s1.triangle_arrays(), s2.triangle_arrays()
+    for x, y in zip(a1, a2):
+        np.testing.assert_array_equal(x, y)
+    assert [m.type for m in s1.materials] == [m.type for m in s2.materials]
+    assert [m.Kd for m in s1.materials] == [m.Kd for m in s2.materials]
+    assert s2.camera_override is not None
+    assert s2.camera_override.fov == s1.camera_override.fov
+    assert s2.material_types == s1.material_types
+    assert s2.hash == s1.hash
+
+    # stale cache: source changed -> re-parse, not the old arrays
+    path.write_text(PBRT_SCENE.replace("[45]", "[30]"))
+    s3 = Scene()
+    s3.load_model(str(path))
+    assert s3.camera_override.fov == 30.0
