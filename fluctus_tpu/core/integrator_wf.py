@@ -26,8 +26,10 @@ MIS weights, the light-pick probability split (env vs area,
 wf_logic.cl:249-251), RR placement (wf_logic.cl:62-74 with the T /=
 contProb compensation), the 0.995 shadow-ray shortening for area lights
 (wf_logic.cl:308) and the CHECK_SPP splat cap (wf_logic.cl:76-84,177-189)
-follow the reference. Like the reference's racy double-check, the spp cap
-can overshoot by the number of same-pixel terminations in one segment.
+follow the reference — except that the cap here is EXACT: splatting lanes
+are ranked per pixel within the segment and clipped to the pixel's
+remaining budget, where the reference's racy double-check can overshoot
+by the number of same-pixel terminations in flight.
 """
 
 from __future__ import annotations
@@ -235,6 +237,19 @@ def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
     splat = terminate & (plen > 0)
     if cfg.max_spp > 0:
         splat &= ~max_samples_reached
+        # EXACT spp cap (improves on the reference's racy double-check,
+        # wf_logic.cl:76-84 / mk_splat.cl:21-34): rank each pixel's
+        # splatting lanes within the segment (two lax.sorts, no gathers)
+        # and admit only as many as the pixel's remaining budget.
+        lane = jnp.arange(n, dtype=jnp.int32)
+        key = jnp.where(splat, pool.pixel_index, jnp.int32(0x7FFFFFFF))
+        skey, slane = jax.lax.sort((key, lane), num_keys=1)
+        pos = jnp.arange(n, dtype=jnp.int32)
+        newrun = jnp.concatenate([jnp.ones(1, bool), skey[1:] != skey[:-1]])
+        runstart = jax.lax.cummax(jnp.where(newrun, pos, 0))
+        rank_sorted = pos - runstart
+        _, rank = jax.lax.sort((slane, rank_sorted), num_keys=1)
+        splat &= rank < (cfg.max_spp - pix_spp)
     seg = jnp.where(splat, pool.pixel_index - pixel_base,
                     num_pixels)  # overflow bucket
     film = state.film

@@ -20,11 +20,10 @@ def test_exact_spp_wavefront_matches_mk():
     film = r.render_single_wavefront(spp=4)
     spp = np.asarray(r._wf_state.spp)
     assert spp.min() >= 4 and spp.max() <= 4
-    # every pixel reaches the target; same-segment terminations can overshoot
-    # (the reference's CHECK_SPP has the same race, wf_logic.cl:177-189) —
-    # postprocess divides by the true weight so the estimator is unbiased
+    # the per-segment rank clip makes the cap EXACT (better than the
+    # reference's racy CHECK_SPP, wf_logic.cl:177-189): weight == spp
     w = np.asarray(film.weight)
-    assert (w >= 4).all()
+    assert (w == 4).all(), (w.min(), w.max())
     img_wf = r.hdr_image()
 
     r2 = Renderer(24, 24, settings=s, data_dir="/tmp/rswf")
