@@ -83,7 +83,20 @@ class Renderer:
             print(f"Loaded render state: {spath}")
 
         bvh = self._init_hierarchy(scene)
+        self._bvh_host = bvh
         self.world_radius = scene.world_radius()
+        self._upload_device_scene(use_env)
+        self.params = self._make_params()
+        self.reset()
+
+    def _upload_device_scene(self, use_env: bool):
+        """Build device-side scene state (kernel-arg binding layer). Also
+        the material re-upload path: call reload_materials() after editing
+        scene.materials (the reference re-binds kernel args on edit,
+        clcontext.cpp setup paths)."""
+        s = self.settings
+        scene = self.scene
+        bvh = self._bvh_host
 
         # Backend: the MXU (Pallas matmul) tracer is the production path on
         # TPU; the pure-JAX bitstack traversal serves CPU tests.
@@ -119,6 +132,15 @@ class Renderer:
             unroll_bounces=on_tpu,
             fast_env=on_tpu,
             denoiser=s.use_denoiser)
+
+    def reload_materials(self):
+        """Re-upload materials/textures after host-side edits (material
+        type changes retrace via RenderConfig.material_types, the
+        getBxdfDefines analogue)."""
+        self.scene.material_types = 0
+        for m in self.scene.materials:
+            self.scene.material_types |= m.type
+        self._upload_device_scene(self.config.use_env_map)
         self.params = self._make_params()
         self.reset()
 

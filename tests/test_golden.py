@@ -1,0 +1,55 @@
+"""Golden-image regression gates (BASELINE RMSE axis; reference protocol
+tracer.cpp:108-182 — fixed state, batch spp, image compare).
+
+Goldens are 160x90 @ 256 spp HDR renders of the four milestone configs,
+generated on TPU by tools/make_goldens.py. The suite re-renders each
+config small/cheap on CPU and gates the down-sampled RMSE with a noise-
+aware threshold; the tight 1e-2 full-spp gate runs on TPU via
+``python tools/make_goldens.py --check``."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+GDIR = os.path.join(os.path.dirname(__file__), "goldens")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+TEST_SPP = 12
+TEST_W, TEST_H = 80, 45
+
+
+def _downsample(img):
+    h, w, _ = img.shape
+    return img.reshape(h // 2, 2, w // 2, 2, 3).mean(axis=(1, 3))
+
+
+def _tonemap(img):
+    return np.clip(img / (1.0 + img), 0.0, 1.0)
+
+
+def _cases():
+    import make_goldens
+    return [c for c in make_goldens.configs()]
+
+
+@pytest.mark.parametrize("case", _cases(), ids=lambda c: c[0])
+def test_golden_rmse(case):
+    name, scene_file, env, settings, mutate = case
+    path = os.path.join(GDIR, f"{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"golden {name} not generated yet")
+    import make_goldens
+    golden = np.load(path)["hdr"].astype(np.float32)
+
+    img = make_goldens.render(name, scene_file, env, settings, mutate,
+                              TEST_SPP, w=TEST_W, h=TEST_H)
+    assert np.isfinite(img).all()
+    a = _tonemap(_downsample(golden))
+    b = _tonemap(img)
+    rmse = float(np.sqrt(np.mean((a - b) ** 2)))
+    # budget: MC noise of a TEST_SPP-sample estimate of the 256-spp golden
+    # dominates; structural regressions (wrong BSDF, camera, env) exceed
+    # this by an order of magnitude
+    assert rmse < 0.06, f"{name}: RMSE {rmse:.4f}"
