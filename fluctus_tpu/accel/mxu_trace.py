@@ -85,6 +85,109 @@ ATTR_TN_OFF = 34
 ATTR_COLS = 40    # padded
 
 
+class B16:
+    """Column offsets of the bf16 resolve table (one row per triangle,
+    128 lanes). Every entry is EXACT in bf16 by construction: floats are
+    split hi/lo (hi = bf16(x), lo = bf16(x - hi): 16-bit effective
+    mantissa), integers into 8-bit chunks (values < 256 are bf16-exact,
+    and the one-hot weights are exactly 0/1) — so a single one-pass bf16
+    MXU product fetches the whole row with known precision. Map indices
+    are stored +1 so the empty (-1) case round-trips through zero rows."""
+    TXY_HI = 0       # 12: affine transform rows (x0..3, y0..3, z0..3)
+    TXY_LO = 12      # 12
+    CF_HI = 24       # 15 const floats: KD3 KS3 KE3 KT3 NS NI D
+    CF_LO = 39       # 15
+    V0_HI = 54       # 5 per-vertex floats of v0: N3, UV2
+    V0_LO = 59
+    V1_HI = 64
+    V1_LO = 69
+    V2_HI = 74
+    V2_LO = 79
+    MAT = 84         # 2 chunks
+    TYPE = 86        # 2
+    MAP_KD = 88      # 2 (stored +1)
+    MAP_KS = 90      # 2 (stored +1)
+    MAP_N = 92       # 2 (stored +1)
+    TRI = 94         # 3
+    TKD_W = 97       # 2
+    TKD_H = 99       # 2
+    TKD_OFF = 101    # 3
+    TKS_W = 104
+    TKS_H = 106
+    TKS_OFF = 108
+    TN_W = 111
+    TN_H = 113
+    TN_OFF = 115
+    COLS = 128
+
+
+def _b16_split(x):
+    """f32 -> (hi, lo) with hi + lo == x to ~2^-16 relative; both bf16-
+    representable."""
+    import ml_dtypes
+    bf16 = ml_dtypes.bfloat16
+    x = np.asarray(x, np.float32)
+    hi = x.astype(bf16).astype(np.float32)
+    lo = (x - hi).astype(bf16).astype(np.float32)
+    return hi, lo
+
+
+def _b16_chunks(v, n):
+    """non-negative int array -> n 8-bit chunk columns (little-endian)."""
+    v = np.asarray(v, np.int64)
+    assert (v >= 0).all() and (v < (1 << (8 * n))).all()
+    return [((v >> (8 * k)) & 0xFF).astype(np.float32) for k in range(n)]
+
+
+def _build_attr_b16(a, txy_t):
+    """Pack the resolve-v3 bf16 table (see B16) from the per-triangle
+    attribute array a [Mpad, 3, ATTR_COLS] and transforms txy_t [Mpad, 12].
+    Returned as bfloat16 [Mpad, 128]."""
+    import ml_dtypes
+    m_pad = a.shape[0]
+    tb = np.zeros((m_pad, B16.COLS), np.float32)
+
+    def put_f(col_hi, col_lo, x):
+        hi, lo = _b16_split(x)
+        w = x.shape[1]
+        tb[:, col_hi:col_hi + w] = hi
+        tb[:, col_lo:col_lo + w] = lo
+
+    def put_i(col, n, v):
+        for k, c in enumerate(_b16_chunks(np.rint(v), n)):
+            tb[:, col + k] = c
+
+    put_f(B16.TXY_HI, B16.TXY_LO, txy_t)
+    cf = np.concatenate(
+        [a[:, 0, ATTR_KD:ATTR_KD + 3], a[:, 0, ATTR_KS:ATTR_KS + 3],
+         a[:, 0, ATTR_KE:ATTR_KE + 3], a[:, 0, ATTR_KT:ATTR_KT + 3],
+         a[:, 0, ATTR_NS:ATTR_NS + 1], a[:, 0, ATTR_NI:ATTR_NI + 1],
+         a[:, 0, ATTR_D:ATTR_D + 1]], axis=1)
+    put_f(B16.CF_HI, B16.CF_LO, cf)
+    for k, (ch, cl) in enumerate(((B16.V0_HI, B16.V0_LO),
+                                  (B16.V1_HI, B16.V1_LO),
+                                  (B16.V2_HI, B16.V2_LO))):
+        vf = np.concatenate([a[:, k, ATTR_N:ATTR_N + 3],
+                             a[:, k, ATTR_UV:ATTR_UV + 2]], axis=1)
+        put_f(ch, cl, vf)
+
+    put_i(B16.MAT, 2, a[:, 0, ATTR_MAT])
+    put_i(B16.TYPE, 2, a[:, 0, ATTR_TYPE])
+    put_i(B16.MAP_KD, 2, a[:, 0, ATTR_MAP_KD] + 1.0)
+    put_i(B16.MAP_KS, 2, a[:, 0, ATTR_MAP_KS] + 1.0)
+    put_i(B16.MAP_N, 2, a[:, 0, ATTR_MAP_N] + 1.0)
+    put_i(B16.TRI, 3, a[:, 0, ATTR_TRI])
+    for wh_col, off_col, (cw, chh, co) in (
+            (ATTR_TKD_WH, ATTR_TKD_OFF, (B16.TKD_W, B16.TKD_H, B16.TKD_OFF)),
+            (ATTR_TKS_WH, ATTR_TKS_OFF, (B16.TKS_W, B16.TKS_H, B16.TKS_OFF)),
+            (ATTR_TN_WH, ATTR_TN_OFF, (B16.TN_W, B16.TN_H, B16.TN_OFF))):
+        wh = np.rint(a[:, 0, wh_col]).astype(np.int64)
+        put_i(cw, 2, wh // 4096)
+        put_i(chh, 2, wh % 4096)
+        put_i(co, 3, a[:, 0, off_col])
+    return tb.astype(ml_dtypes.bfloat16)
+
+
 # ---------------------------------------------------------------------------
 # Cluster construction (host)
 # ---------------------------------------------------------------------------
@@ -192,6 +295,12 @@ class MXUScene:
     txy_t: Optional[jnp.ndarray] = None
     # coefficient-major transforms [12, Mpad] for the rays-on-lanes kernel
     t12: Optional[jnp.ndarray] = None
+    # 128-triangle sub-block AABBs [n_clusters * (tc//128), 8] for the
+    # sub-block-culled kernel (NaN rows = empty sub-block, never hit)
+    sub_box: Optional[jnp.ndarray] = None
+    # bf16 resolve table [Mpad, 128] (B16 layout) — one single-pass MXU
+    # one-hot product fetches transforms + all shading attributes
+    attr_b16: Optional[jnp.ndarray] = None
     # static
     n_clusters: int = dataclasses.field(metadata=dict(static=True), default=1)
     cluster_size: int = dataclasses.field(metadata=dict(static=True), default=256)
@@ -306,6 +415,7 @@ class MXUScene:
             # row layout: vertex-major within the cluster so the weighted
             # one-hot [RT, 3*TC] lines up: rows [0..TC) = v0 of each tri,
             # [TC..2TC) = v1, [2TC..3TC) = v2
+            a_tri = a                      # [Mpad, 3, ATTR_COLS] layout
             a = a.reshape(n_clusters, cluster_size, 3, ATTR_COLS)
             a = a.transpose(0, 2, 1, 3).reshape(
                 n_clusters * 3 * cluster_size, ATTR_COLS)
@@ -314,7 +424,27 @@ class MXUScene:
         txy_t = np.concatenate([t4[:, :, 0], t4[:, :, 1], t4[:, :, 2]],
                                axis=1).astype(np.float32)  # [Mpad, 12]
 
+        sub_box = None
+        if cluster_size % 128 == 0:
+            nsb = cluster_size // 128
+            tmin = np.where(used[:, None], tris.min(axis=1), np.inf)
+            tmax = np.where(used[:, None], tris.max(axis=1), -np.inf)
+            g = tmin.reshape(n_clusters * nsb, 128, 3).min(axis=1)
+            h = tmax.reshape(n_clusters * nsb, 128, 3).max(axis=1)
+            any_used = used.reshape(n_clusters * nsb, 128).any(axis=1)
+            sb = np.full((n_clusters * nsb, 8), np.nan, np.float32)
+            sb[:, 0:3] = np.where(any_used[:, None], g, np.nan)
+            sb[:, 3:6] = np.where(any_used[:, None], h, np.nan)
+            sub_box = jnp.asarray(sb)
+
+        attr_b16 = None
+        if attrs is not None:
+            # `a` still holds the pre-reshape [Mpad, 3, ATTR_COLS] layout
+            attr_b16 = jnp.asarray(_build_attr_b16(a_tri, txy_t))
+
         return MXUScene(
+            sub_box=sub_box,
+            attr_b16=attr_b16,
             attrs=attrs,
             txy_t=jnp.asarray(txy_t),
             t12=jnp.asarray(np.ascontiguousarray(txy_t.T)),
@@ -536,6 +666,310 @@ def _trace_kernel_rol(o_ref, tm_ref, ord_ref, cons_ref, t12_ref, box_ref,
     jax.lax.while_loop(cond, body, (jnp.int32(0), stop0))
 
 
+SUB = 128     # sub-block granularity (lane slices must stay 128-aligned)
+
+
+def _trace_kernel_rol3(o_ref, tm_ref, ord_ref, cons_ref, t12_ref, box_ref,
+                       sbox_ref, t_ref, i_ref, *, rt, tc, n_clusters,
+                       any_hit):
+    """Rays-on-lanes with SUB-triangle sub-block culling: a visited
+    cluster's pair math runs per 128-tri sub-block, each gated by its own
+    [1, rt] slab test against the sub-block AABB — divergent tiles stop
+    paying for the parts of a cluster none of their rays can enter."""
+    nsb = tc // SUB
+    O = o_ref[0]
+    o0, o1, o2 = O[0:1], O[1:2], O[2:3]
+    d0, d1, d2 = O[4:5], O[5:6], O[6:7]
+    eps = 1e-30
+    i0 = 1.0 / jnp.where(d0 == 0.0, eps, d0)
+    i1 = 1.0 / jnp.where(d1 == 0.0, eps, d1)
+    i2 = 1.0 / jnp.where(d2 == 0.0, eps, d2)
+    tm = tm_ref[0]
+    t_ref[0] = tm
+    i_ref[0] = jnp.full((1, rt), -1, jnp.int32)
+    rowbits = SUB - 1
+
+    def slab(box, t_best):
+        ax = (box[0] - o0) * i0
+        bx = (box[3] - o0) * i0
+        ay = (box[1] - o1) * i1
+        by = (box[4] - o1) * i1
+        az = (box[2] - o2) * i2
+        bz = (box[5] - o2) * i2
+        tnear = jnp.maximum(jnp.maximum(jnp.minimum(ax, bx),
+                                        jnp.minimum(ay, by)),
+                            jnp.minimum(az, bz))
+        tfar = jnp.minimum(jnp.minimum(jnp.maximum(ax, bx),
+                                       jnp.maximum(ay, by)),
+                           jnp.maximum(az, bz))
+        hit = (tfar >= 0.0) & (tnear <= tfar) & (tnear < t_best)
+        if any_hit:
+            hit = hit & (i_ref[0] < 0)
+        return hit
+
+    def cond(carry):
+        slot, stop = carry
+        return (slot < n_clusters) & ~stop
+
+    def body(carry):
+        slot, _ = carry
+        c = ord_ref[0, slot, 0]
+        t_best0 = t_ref[0]
+        box = box_ref[jnp.maximum(c, 0), :]
+        live = jnp.any(slab(box, t_best0)) & (c >= 0)
+
+        @pl.when(live)
+        def _():
+            for sb in range(nsb):
+                t_best = t_ref[0]
+                sbox = sbox_ref[jnp.maximum(c, 0) * nsb + sb, :]
+                sub_live = jnp.any(slab(sbox, t_best))
+
+                @pl.when(sub_live)
+                def _(sb=sb, t_best=t_best):
+                    off = pl.multiple_of(c * tc + sb * SUB, 128)
+                    TT = t12_ref[:, pl.ds(off, SUB)].T        # [SUB, 12]
+                    oz = o0 * TT[:, 8:9] + o1 * TT[:, 9:10] \
+                        + o2 * TT[:, 10:11] + TT[:, 11:12]
+                    dz = d0 * TT[:, 8:9] + d1 * TT[:, 9:10] \
+                        + d2 * TT[:, 10:11]
+                    t = -oz / jnp.where(dz == 0.0, 1.0, dz)
+                    ox = o0 * TT[:, 0:1] + o1 * TT[:, 1:2] \
+                        + o2 * TT[:, 2:3] + TT[:, 3:4]
+                    dx = d0 * TT[:, 0:1] + d1 * TT[:, 1:2] + d2 * TT[:, 2:3]
+                    u = ox + t * dx
+                    oy = o0 * TT[:, 4:5] + o1 * TT[:, 5:6] \
+                        + o2 * TT[:, 6:7] + TT[:, 7:8]
+                    dy = d0 * TT[:, 4:5] + d1 * TT[:, 5:6] + d2 * TT[:, 6:7]
+                    v = oy + t * dy
+                    valid = (dz != 0.0) & (t > 0.0) & \
+                        (jnp.minimum(jnp.minimum(u, v), 1.0 - u - v) >= 0.0)
+                    if any_hit:
+                        tcand = jnp.where(valid, t, F32_MAX)
+                        tmin = jnp.min(tcand, axis=0, keepdims=True)
+                        blocked = tmin < t_best
+                        i_ref[0] = jnp.where(blocked, 1, i_ref[0])
+                        t_ref[0] = jnp.where(blocked, 0.0, t_ref[0])
+                    else:
+                        row = jax.lax.broadcasted_iota(jnp.int32, (SUB, rt),
+                                                       0)
+                        key = (pltpu.bitcast(t, jnp.int32) & ~rowbits) | row
+                        key = jnp.where(valid, key, jnp.int32(0x7F800000))
+                        kmin = jnp.min(key, axis=0, keepdims=True)
+                        tmin = pltpu.bitcast(kmin & ~rowbits, jnp.float32)
+                        better = tmin < t_best
+                        t_ref[0] = jnp.where(better, tmin, t_ref[0])
+                        i_ref[0] = jnp.where(
+                            better, (kmin & rowbits) + c * tc + sb * SUB,
+                            i_ref[0])
+
+        nxt = slot + 1
+        guard = jnp.minimum(nxt, n_clusters - 1)
+        t_worst = jnp.max(t_ref[0])
+        stop = (ord_ref[0, guard, 0] < 0) | (cons_ref[0, guard, 0] > t_worst) \
+            | (t_worst <= 0.0)
+        return nxt, stop
+
+    t_worst0 = jnp.max(tm)
+    stop0 = (ord_ref[0, 0, 0] < 0) | (cons_ref[0, 0, 0] > t_worst0) \
+        | (t_worst0 <= 0.0)
+    jax.lax.while_loop(cond, body, (jnp.int32(0), stop0))
+
+
+@partial(jax.jit, static_argnames=("scene_static", "any_hit", "ray_tile",
+                                   "interpret"))
+def _trace_rol3(o4, d4, tmax_col, t12, boxes, sboxes, scene_static, any_hit,
+                ray_tile, interpret):
+    """Sub-block-culled rays-on-lanes dispatch."""
+    n_clusters, tc = scene_static
+    rt = ray_tile
+    b = o4.shape[0]
+    nt = b // rt
+
+    order, cons = _tile_order(o4, d4, tmax_col, boxes, rt)
+    ncl_pad = order.shape[1]
+
+    rays = jnp.stack([o4[:, 0], o4[:, 1], o4[:, 2], o4[:, 3],
+                      d4[:, 0], d4[:, 1], d4[:, 2], d4[:, 3]], axis=0)
+    rays = rays.reshape(8, nt, rt).transpose(1, 0, 2)
+    tm = tmax_col.reshape(nt, 1, rt)
+
+    kernel = partial(_trace_kernel_rol3, rt=rt, tc=tc,
+                     n_clusters=n_clusters, any_hit=any_hit)
+    t, i = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, 8, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ncl_pad, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ncl_pad, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, 1, rt), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 1, rt), jnp.int32),
+        ],
+        interpret=interpret,
+    )(rays, tm, order, cons, t12, boxes, sboxes)
+    return t.reshape(b, 1), i.reshape(b, 1)
+
+
+def _trace_kernel_rol2(o_ref, tm_ref, ord_ref, cons_ref, txy_ref, box_ref,
+                       t_ref, i_ref, *, rt, tc, n_clusters, any_hit):
+    """Rays-on-lanes, pre-transposed-table variant: the per-cluster
+    transform block is sliced [tc, 12] from the [Mpad, 12] table on
+    SUBLANES (dynamic sublane slicing is native) — no in-register
+    transpose per visit, unlike _trace_kernel_rol's [12, tc] lane slice."""
+    O = o_ref[0]                      # [8, rt]: ox oy oz 1 dx dy dz 0
+    o0, o1, o2 = O[0:1], O[1:2], O[2:3]
+    d0, d1, d2 = O[4:5], O[5:6], O[6:7]
+    eps = 1e-30
+    i0 = 1.0 / jnp.where(d0 == 0.0, eps, d0)
+    i1 = 1.0 / jnp.where(d1 == 0.0, eps, d1)
+    i2 = 1.0 / jnp.where(d2 == 0.0, eps, d2)
+    tm = tm_ref[0]                    # [1, rt]
+    t_ref[0] = tm
+    i_ref[0] = jnp.full((1, rt), -1, jnp.int32)
+    rowbits = tc - 1
+
+    def cond(carry):
+        slot, stop = carry
+        return (slot < n_clusters) & ~stop
+
+    def body(carry):
+        slot, _ = carry
+        c = ord_ref[0, slot, 0]
+        t_best = t_ref[0]             # [1, rt]
+        box = box_ref[jnp.maximum(c, 0), :]
+
+        ax = (box[0] - o0) * i0
+        bx = (box[3] - o0) * i0
+        ay = (box[1] - o1) * i1
+        by = (box[4] - o1) * i1
+        az = (box[2] - o2) * i2
+        bz = (box[5] - o2) * i2
+        tnear = jnp.maximum(jnp.maximum(jnp.minimum(ax, bx),
+                                        jnp.minimum(ay, by)),
+                            jnp.minimum(az, bz))
+        tfar = jnp.minimum(jnp.minimum(jnp.maximum(ax, bx),
+                                       jnp.maximum(ay, by)),
+                           jnp.maximum(az, bz))
+        box_hit = (tfar >= 0.0) & (tnear <= tfar) & (tnear < t_best)
+        if any_hit:
+            box_hit = box_hit & (i_ref[0] < 0)
+        live = jnp.any(box_hit) & (c >= 0)
+
+        @pl.when(live)
+        def _():
+            off = pl.multiple_of(c * tc, 128)
+            TT = txy_ref[pl.ds(off, tc), :]          # [tc, 12], no transpose
+            oz = o0 * TT[:, 8:9] + o1 * TT[:, 9:10] + o2 * TT[:, 10:11] \
+                + TT[:, 11:12]
+            dz = d0 * TT[:, 8:9] + d1 * TT[:, 9:10] + d2 * TT[:, 10:11]
+            t = -oz / jnp.where(dz == 0.0, 1.0, dz)
+            ox = o0 * TT[:, 0:1] + o1 * TT[:, 1:2] + o2 * TT[:, 2:3] \
+                + TT[:, 3:4]
+            dx = d0 * TT[:, 0:1] + d1 * TT[:, 1:2] + d2 * TT[:, 2:3]
+            u = ox + t * dx
+            oy = o0 * TT[:, 4:5] + o1 * TT[:, 5:6] + o2 * TT[:, 6:7] \
+                + TT[:, 7:8]
+            dy = d0 * TT[:, 4:5] + d1 * TT[:, 5:6] + d2 * TT[:, 6:7]
+            v = oy + t * dy
+            valid = (dz != 0.0) & (t > 0.0) & \
+                (jnp.minimum(jnp.minimum(u, v), 1.0 - u - v) >= 0.0)
+            if any_hit:
+                tcand = jnp.where(valid, t, F32_MAX)
+                tmin = jnp.min(tcand, axis=0, keepdims=True)
+                blocked = tmin < t_best
+                i_ref[0] = jnp.where(blocked, 1, i_ref[0])
+                t_ref[0] = jnp.where(blocked, 0.0, t_ref[0])
+            else:
+                row = jax.lax.broadcasted_iota(jnp.int32, (tc, rt), 0)
+                key = (pltpu.bitcast(t, jnp.int32) & ~rowbits) | row
+                key = jnp.where(valid, key, jnp.int32(0x7F800000))
+                kmin = jnp.min(key, axis=0, keepdims=True)
+                tmin = pltpu.bitcast(kmin & ~rowbits, jnp.float32)
+                better = tmin < t_best
+                t_ref[0] = jnp.where(better, tmin, t_ref[0])
+                i_ref[0] = jnp.where(better, (kmin & rowbits) + c * tc,
+                                     i_ref[0])
+
+        nxt = slot + 1
+        guard = jnp.minimum(nxt, n_clusters - 1)
+        t_worst = jnp.max(t_ref[0])
+        stop = (ord_ref[0, guard, 0] < 0) | (cons_ref[0, guard, 0] > t_worst) \
+            | (t_worst <= 0.0)
+        return nxt, stop
+
+    t_worst0 = jnp.max(tm)
+    stop0 = (ord_ref[0, 0, 0] < 0) | (cons_ref[0, 0, 0] > t_worst0) \
+        | (t_worst0 <= 0.0)
+    jax.lax.while_loop(cond, body, (jnp.int32(0), stop0))
+
+
+@partial(jax.jit, static_argnames=("scene_static", "any_hit", "ray_tile",
+                                   "interpret"))
+def _trace_rol2(o4, d4, tmax_col, txy_t, boxes, scene_static, any_hit,
+                ray_tile, interpret):
+    """Rays-on-lanes dispatch against the pre-transposed [Mpad, 12] table."""
+    n_clusters, tc = scene_static
+    rt = ray_tile
+    b = o4.shape[0]
+    nt = b // rt
+
+    order, cons = _tile_order(o4, d4, tmax_col, boxes, rt)
+    ncl_pad = order.shape[1]
+
+    rays = jnp.stack([o4[:, 0], o4[:, 1], o4[:, 2], o4[:, 3],
+                      d4[:, 0], d4[:, 1], d4[:, 2], d4[:, 3]], axis=0)
+    rays = rays.reshape(8, nt, rt).transpose(1, 0, 2)     # [nt, 8, rt]
+    tm = tmax_col.reshape(nt, 1, rt)
+
+    kernel = partial(_trace_kernel_rol2, rt=rt, tc=tc,
+                     n_clusters=n_clusters, any_hit=any_hit)
+    t, i = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, 8, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ncl_pad, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ncl_pad, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, 1, rt), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 1, rt), jnp.int32),
+        ],
+        interpret=interpret,
+    )(rays, tm, order, cons, txy_t, boxes)
+    return t.reshape(b, 1), i.reshape(b, 1)
+
+
 @partial(jax.jit, static_argnames=("scene_static", "any_hit", "ray_tile",
                                    "interpret"))
 def _trace_rol(o4, d4, tmax_col, t12, boxes, scene_static, any_hit,
@@ -724,8 +1158,21 @@ ROL = _os.environ.get("FLT_ROL", "1") == "1"
 ROL_TILE = int(_os.environ.get("FLT_ROL_TILE", "512"))
 
 
+ROL_V = _os.environ.get("FLT_ROL_V", "1")
+RESOLVE_V = _os.environ.get("FLT_RESOLVE_V", "3")
+
+
 def _dispatch_trace(o4, d4, tmax_col, scene, any_hit, ray_tile, interpret):
     """Select the trace kernel: rays-on-lanes (ROL) or rays-on-sublanes."""
+    if ROL and scene.sub_box is not None and not interpret and ROL_V == "3":
+        return _trace_rol3(o4, d4, tmax_col, scene.t12, scene.cluster_box,
+                           scene.sub_box,
+                           (scene.n_clusters, scene.cluster_size),
+                           any_hit, ROL_TILE, interpret)
+    if ROL and scene.txy_t is not None and not interpret and ROL_V == "2":
+        return _trace_rol2(o4, d4, tmax_col, scene.txy_t, scene.cluster_box,
+                           (scene.n_clusters, scene.cluster_size),
+                           any_hit, ROL_TILE, interpret)
     if ROL and scene.t12 is not None and not interpret:
         return _trace_rol(o4, d4, tmax_col, scene.t12, scene.cluster_box,
                           (scene.n_clusters, scene.cluster_size),
@@ -942,17 +1389,21 @@ def _winner_lists(col, n_clusters, tc, rt):
     egyptcat bounce batches) — the resolve kernel then touches just those."""
     b = col.shape[0]
     nt = b // rt
-    cl = jnp.where(col[:, 0] >= 0, col[:, 0] // tc, -1).reshape(nt, rt)
-    ids = jnp.arange(n_clusters, dtype=jnp.int32)
-    present = jnp.any(cl[:, :, None] == ids[None, None, :], axis=1)
-    key = jnp.where(present, ids[None, :], jnp.int32(0x7FFFFFFF))
+    inf = jnp.int32(0x7FFFFFFF)
+    cl = jnp.where(col[:, 0] >= 0, col[:, 0] // tc, inf).reshape(nt, rt)
+    scl = jnp.sort(cl, axis=1)
+    # keep first occurrence of each run, push duplicates to the tail
+    first = jnp.concatenate(
+        [jnp.ones((nt, 1), bool), scl[:, 1:] != scl[:, :-1]], axis=1)
+    key = jnp.where(first & (scl != inf), scl, inf)
     skey = jnp.sort(key, axis=1)
-    order = jnp.where(skey == jnp.int32(0x7FFFFFFF), -1, skey)
-    pad = (-n_clusters) % 8
-    if pad:
+    ncl_pad = n_clusters + ((-n_clusters) % 8)
+    k = min(rt, ncl_pad)          # distinct winners <= min(rt, n_clusters)
+    order = jnp.where(skey[:, :k] == inf, -1, skey[:, :k])
+    if k < ncl_pad:
         order = jnp.concatenate(
-            [order, jnp.full((nt, pad), -1, jnp.int32)], axis=1)
-    return order.reshape(nt, n_clusters + pad, 1)
+            [order, jnp.full((nt, ncl_pad - k), -1, jnp.int32)], axis=1)
+    return order.reshape(nt, ncl_pad, 1)
 
 
 def _resolve_kernel_v2(col_ref, o_ref, d_ref, ord_ref, txy_ref, attr_ref,
@@ -1047,6 +1498,111 @@ def _resolve_v2(col, o4, d4, txy, attrs, scene_static, ray_tile, interpret):
     )(col, o4, d4, order, txy, attrs)
 
 
+def _resolve_kernel_v3(col_ref, o_ref, d_ref, ord_ref, tbl_ref, out_ref,
+                       *, rt, tc, ncl_pad):
+    """Winner-attribute resolve, v3: per winner cluster ONE single-pass
+    bf16 one-hot product fetches the whole 128-lane B16 row (transforms +
+    attributes; every entry bf16-exact by construction — see B16), then
+    the epilogue reconstructs values and barycentrically interpolates the
+    per-vertex floats at full f32 precision. ~6x less MXU work than the
+    v2 HIGHEST-precision [rt,3tc]x[3tc,40] products."""
+    out_ref[:] = jnp.zeros((rt, ATTR_COLS), jnp.float32)
+    col = col_ref[:]                      # [rt,1] padded winner column
+    O = o_ref[:]
+    D = d_ref[:]
+
+    def cond(carry):
+        slot, stop = carry
+        return (slot < ncl_pad) & ~stop
+
+    def body(carry):
+        slot, _ = carry
+        c = ord_ref[0, slot, 0]
+
+        @pl.when(c >= 0)
+        def _():
+            local = col - c * tc
+            active = (local >= 0) & (local < tc)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (rt, tc), 1)
+            onehot = ((lane == local) & active).astype(jnp.bfloat16)
+            off = pl.multiple_of(c * tc, 128)
+            row = jnp.dot(onehot, tbl_ref[pl.ds(off, tc), :],
+                          preferred_element_type=jnp.float32)  # [rt, 128]
+
+            g = lambda a, w: row[:, a:a + w]
+            txy = g(B16.TXY_HI, 12) + g(B16.TXY_LO, 12)
+            oz = jnp.sum(O * txy[:, 8:12], axis=1, keepdims=True)
+            dz = jnp.sum(D * txy[:, 8:12], axis=1, keepdims=True)
+            t = -oz / jnp.where(dz == 0.0, 1.0, dz)
+            ox = jnp.sum(O * txy[:, 0:4], axis=1, keepdims=True)
+            dx = jnp.sum(D * txy[:, 0:4], axis=1, keepdims=True)
+            oy = jnp.sum(O * txy[:, 4:8], axis=1, keepdims=True)
+            dy = jnp.sum(D * txy[:, 4:8], axis=1, keepdims=True)
+            u = ox + t * dx
+            v = oy + t * dy
+
+            cf = g(B16.CF_HI, 15) + g(B16.CF_LO, 15)
+            v0 = g(B16.V0_HI, 5) + g(B16.V0_LO, 5)
+            v1 = g(B16.V1_HI, 5) + g(B16.V1_LO, 5)
+            v2 = g(B16.V2_HI, 5) + g(B16.V2_LO, 5)
+            vert = (1.0 - u - v) * v0 + u * v1 + v * v2   # [rt, 5] N3+UV2
+
+            c2 = lambda a: row[:, a:a + 1] + row[:, a + 1:a + 2] * 256.0
+            c3 = lambda a: c2(a) + row[:, a + 2:a + 3] * 65536.0
+            am = active.astype(jnp.float32)
+            wh = lambda cw, chh: c2(cw) * 4096.0 + c2(chh)
+            res = jnp.concatenate([
+                vert,                                     # 0-4: N, UV
+                c2(B16.MAT),                              # 5
+                cf,                                       # 6-20
+                c2(B16.TYPE),                             # 21
+                c2(B16.MAP_KD) - am,                      # 22 (stored +1)
+                c2(B16.MAP_KS) - am,                      # 23
+                c2(B16.MAP_N) - am,                       # 24
+                c3(B16.TRI),                              # 25
+                u * am, v * am, t * am,                   # 26-28
+                wh(B16.TKD_W, B16.TKD_H), c3(B16.TKD_OFF),  # 29-30
+                wh(B16.TKS_W, B16.TKS_H), c3(B16.TKS_OFF),  # 31-32
+                wh(B16.TN_W, B16.TN_H), c3(B16.TN_OFF),     # 33-34
+                jnp.zeros((rt, ATTR_COLS - 35), jnp.float32),
+            ], axis=1)
+            out_ref[:] = out_ref[:] + res * am
+
+        nxt = slot + 1
+        guard = jnp.minimum(nxt, ncl_pad - 1)
+        return nxt, ord_ref[0, guard, 0] < 0
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), ord_ref[0, 0, 0] < 0))
+
+
+@partial(jax.jit, static_argnames=("scene_static", "ray_tile", "interpret"))
+def _resolve_v3(col, o4, d4, tbl, scene_static, ray_tile, interpret):
+    n_clusters, tc = scene_static
+    rt = ray_tile
+    b = col.shape[0]
+    order = _winner_lists(col, n_clusters, tc, rt)
+    ncl_pad = order.shape[1]
+    kernel = partial(_resolve_kernel_v3, rt=rt, tc=tc, ncl_pad=ncl_pad)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // rt,),
+        in_specs=[
+            pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ncl_pad, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bf16 table resident
+        ],
+        out_specs=pl.BlockSpec((rt, ATTR_COLS), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, ATTR_COLS), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_RESOLVE_V2_VMEM_BYTES + (16 << 20)),
+        interpret=interpret,
+    )(col, o4, d4, order, tbl)
+
+
 # resident-table resolve needs txy+attrs in VMEM (~128 MB/chip); beyond
 # this the grid-sweep kernel streams blocks from HBM instead
 _RESOLVE_V2_VMEM_BYTES = 48 * (1 << 20)
@@ -1061,6 +1617,12 @@ def resolve_hits_mxu(orig: Vec3, d: Vec3, t, col, scene: MXUScene,
     n = col.shape[0]
     o4, d4, _ = _ray_inputs(orig, d, scene, None, ray_tile)
     col2, _ = _pad_rays(col.reshape(n, 1), ray_tile)
+    if not interpret and scene.attr_b16 is not None and RESOLVE_V == "3" \
+            and scene.attr_b16.size * 2 <= _RESOLVE_V2_VMEM_BYTES:
+        out = _resolve_v3(col2, o4, d4, scene.attr_b16,
+                          (scene.n_clusters, scene.cluster_size), ray_tile,
+                          interpret)
+        return out[:n]
     table_bytes = (scene.attrs.size + scene.txy_t.size) * 4
     if not interpret and table_bytes <= _RESOLVE_V2_VMEM_BYTES:
         out = _resolve_v2(col2, o4, d4, scene.txy_t, scene.attrs,

@@ -104,3 +104,46 @@ def test_winner_lists():
     t1 = order[1, :, 0].tolist()
     assert t0[:2] == [0, 1] and all(x == -1 for x in t0[2:])
     assert t1[:3] == [0, 1, 2] and all(x == -1 for x in t1[3:])
+
+
+def test_resolve_v3_matches_v2():
+    """The bf16 B16-table resolve must agree with the f32 kernels:
+    integer columns exactly, floats to the 16-bit split tolerance."""
+    from fluctus_tpu.accel import mxu_trace as mt
+    s = Scene()
+    s.load_model("/root/reference/assets/teapot.ply")
+    p, nrm, uv, mid = s.triangle_arrays()
+    bvh = build_bvh(p)
+    mxu = MXUScene.build(p, bvh, cluster_size=256, normals=nrm, uvs=uv,
+                         mat_ids=mid, materials=s.materials)
+    assert mxu.attr_b16 is not None
+
+    rng = np.random.default_rng(9)
+    lo, hi = p.reshape(-1, 3).min(0), p.reshape(-1, 3).max(0)
+    c = (lo + hi) / 2
+    r = np.linalg.norm(hi - lo)
+    o = c + rng.standard_normal((256, 3)) * r
+    tg = lo + rng.random((256, 3)) * (hi - lo)
+    d = tg - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ov = Vec3(*[jnp.asarray(o[:, i], jnp.float32) for i in range(3)])
+    dv = Vec3(*[jnp.asarray(d[:, i], jnp.float32) for i in range(3)])
+
+    t, tri, u, v, col = closest_hit_mxu_full(ov, dv, mxu, ray_tile=256,
+                                             interpret=True)
+    n = col.shape[0]
+    o4, d4, _ = mt._ray_inputs(ov, dv, mxu, None, 256)
+    col2, _ = mt._pad_rays(col.reshape(n, 1), 256)
+    v2 = np.asarray(mt._resolve_v2(col2, o4, d4, mxu.txy_t, mxu.attrs,
+                                   (mxu.n_clusters, mxu.cluster_size), 256,
+                                   True))
+    v3 = np.asarray(mt._resolve_v3(col2, o4, d4, mxu.attr_b16,
+                                   (mxu.n_clusters, mxu.cluster_size), 256,
+                                   True))
+    for c_ in (mt.ATTR_MAT, mt.ATTR_TYPE, mt.ATTR_MAP_KD, mt.ATTR_MAP_KS,
+               mt.ATTR_MAP_N, mt.ATTR_TRI):
+        np.testing.assert_array_equal(np.rint(v3[:, c_]), np.rint(v2[:, c_]))
+    for c_, w in ((mt.ATTR_N, 3), (mt.ATTR_UV, 2), (mt.ATTR_KD, 3),
+                  (mt.ATTR_NS, 1), (mt.ATTR_HITT, 1)):
+        np.testing.assert_allclose(v3[:, c_:c_ + w], v2[:, c_:c_ + w],
+                                   rtol=2e-3, atol=2e-3)
