@@ -137,6 +137,38 @@ def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
     sub-ring (its film/spp slice) and a private pool slice + ring cursor,
     so the whole segment is shard-local (clcontext.cpp:917-927 ring
     semantics preserved per shard; see parallel/mesh.py)."""
+    hit, sp, occluded = wf_trace_phase(scene, state.pool, params, config)
+    return wf_logic_phase(scene, params, state, config, hit, sp, occluded,
+                          first_iteration, pixel_base)
+
+
+def wf_trace_phase(scene: DeviceScene, pool: WfPool, params: RenderParams,
+                   config: RenderConfig):
+    """Extension + shadow traces for the rays staged last segment
+    (wf_extrays.cl / wf_shadowrays.cl) + winner attribute resolve. Split
+    out so the renderer can dispatch it as its own program — coherence
+    sorts and the resolve then run far from the logic phase's
+    gather/scatter offload ops, which contend when everything is fused
+    into one program on this TPU."""
+    cfg = config
+    light = params.area_light if cfg.use_area_light else None
+    res = trace_extension(pool.orig, pool.dir, scene, light,
+                          jnp.asarray(cfg.sample_impl and cfg.use_area_light),
+                          want_shading=True)
+    hit, sp = res
+    # non-pending lanes get tmax=0: the coherence sort pushes them to the
+    # tail tiles, whose candidate lists are empty -> near-free occupancy cut
+    shadow_tmax = jnp.where(pool.shadow_pending, pool.shadow_len, 0.0)
+    occluded = trace_shadow(pool.shadow_orig, pool.shadow_dir, shadow_tmax,
+                            scene, light, jnp.asarray(cfg.use_area_light))
+    return hit, sp, occluded
+
+
+def wf_logic_phase(scene: DeviceScene, params: RenderParams, state: WfState,
+                   config: RenderConfig, hit, sp, occluded,
+                   first_iteration: bool = False, pixel_base=None):
+    """Logic + shading + NEE + material sampling + raygen + splat — the
+    post-trace half of the segment (wf_logic.cl onward)."""
     cfg = config
     pool = state.pool
     n = pool.seed.shape[0]
@@ -152,21 +184,7 @@ def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
     T = pool.T
     Ei = pool.Ei
 
-    # =====================================================================
-    # EXTENSION + SHADOW traces for the rays staged last segment
-    # (wf_extrays.cl / wf_shadowrays.cl)
-    # =====================================================================
-    res = trace_extension(pool.orig, pool.dir, scene, light,
-                          jnp.asarray(cfg.sample_impl and cfg.use_area_light),
-                          want_shading=True)
-    hit, sp = res
     plen = pool.path_len + 1
-
-    # non-pending lanes get tmax=0: the coherence sort pushes them to the
-    # tail tiles, whose candidate lists are empty -> near-free occupancy cut
-    shadow_tmax = jnp.where(pool.shadow_pending, pool.shadow_len, 0.0)
-    occluded = trace_shadow(pool.shadow_orig, pool.shadow_dir, shadow_tmax,
-                            scene, light, jnp.asarray(cfg.use_area_light))
     shadow_blocked = jnp.where(pool.shadow_pending, occluded, True)
 
     # =====================================================================

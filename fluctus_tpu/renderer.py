@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import math
 import os
+import sys
 import time
 from typing import Optional
 
@@ -158,19 +159,27 @@ class Renderer:
             return bvh
         t0 = time.time()
         p, _, _, _ = scene.triangle_arrays()
+        from .progress import ProgressView
+        pv = ProgressView(enabled=sys.stderr.isatty())
+        m = max(p.shape[0], 1)
         bvh = None
         if sbvh:
             from .native import build_sbvh_native
+            pv.show("Building SBVH")
             bvh = build_sbvh_native(p)
             if bvh is None:                       # no toolchain
                 from .accel.sbvh import build_sbvh
-                bvh = build_sbvh(p)
+                bvh = build_sbvh(
+                    p, progress=lambda k: pv.show("Building SBVH", k / m))
         elif p.shape[0] > 20000:
             # large scenes: the native C++ SAH builder (same algorithm)
             from .native import build_bvh_native
+            pv.show("Building BVH")
             bvh = build_bvh_native(p)
         if bvh is None:
-            bvh = build_bvh(p, mode=SplitMode.SAH)
+            bvh = build_bvh(p, mode=SplitMode.SAH,
+                            progress=lambda k: pv.show("Building BVH", k / m))
+        pv.hide()
         print(f"BVH built: {bvh.num_nodes} nodes, depth {bvh.depth()} "
               f"({time.time()-t0:.2f}s)")
         if scene.hash:
@@ -236,15 +245,23 @@ class Renderer:
     # -- wavefront (throughput) mode ------------------------------------------
     def init_wavefront(self, num_tasks: Optional[int] = None):
         """Reset the persistent path pool (wf_reset analogue)."""
-        from .core.integrator_wf import wf_reset, wf_segment
+        from .core.integrator_wf import (wf_logic_phase, wf_reset, wf_segment,
+                                         wf_trace_phase)
         self.num_tasks = num_tasks or self.settings.wf_buffer_size
         self._wf_state = wf_reset(self.config, self.num_tasks,
                                   world_radius=self.world_radius)
+        # two-dispatch segments: trace and logic as separate programs keep
+        # each program's sort/gather/scatter offload-op count low — fused
+        # into one program they contend and serialize on this TPU
+        self._wf_phased = os.environ.get("FLT_WF_PHASES", "1") == "1"
         if not hasattr(self, "_wf_step"):
             # one jit wrapper for the lifetime of the renderer — a fresh
             # wrapper would re-trace and recompile (minutes on this toolchain)
             self._wf_step = jax.jit(
                 wf_segment, static_argnames=("config", "first_iteration"))
+            self._wf_trace = jax.jit(wf_trace_phase, static_argnames="config")
+            self._wf_logic = jax.jit(
+                wf_logic_phase, static_argnames=("config", "first_iteration"))
         self._wf_counters = []
 
     def render_wavefront(self, segments: int, sync: bool = True):
@@ -252,8 +269,17 @@ class Renderer:
         tracer.cpp:269-283). Dispatch is asynchronous: the host runs ahead
         and only synchronizes at the end (the reference's finishQueue)."""
         for _ in range(segments):
-            self._wf_state, cnt = self._wf_step(
-                self.device_scene, self.params, self._wf_state, self.config)
+            if self._wf_phased:
+                hit, sp, occ = self._wf_trace(
+                    self.device_scene, self._wf_state.pool, self.params,
+                    self.config)
+                self._wf_state, cnt = self._wf_logic(
+                    self.device_scene, self.params, self._wf_state,
+                    self.config, hit, sp, occ)
+            else:
+                self._wf_state, cnt = self._wf_step(
+                    self.device_scene, self.params, self._wf_state,
+                    self.config)
             self._wf_counters.append(cnt)
         if sync:
             jax.block_until_ready(self._wf_state.film.color.x)
