@@ -67,3 +67,66 @@ def test_bm_json_harness(tmp_path, assets):
     csv = (out / "results.csv").read_text().splitlines()
     assert csv[0] == "scene;time;primary;extension;shadow;total;samples"
     assert (out / "results.txt").read_text().strip()
+
+
+def test_state_reference_byte_layout(tmp_path):
+    """Independently hand-encode a state file following the reference's
+    iterateStateItems field list (tracer.cpp:1007-1046: floats/cl_uints,
+    little-endian, float3 as 3 floats — write helpers tracer.cpp:981-993)
+    and check load_state decodes every field; then save_state must emit
+    the identical byte string."""
+    import struct
+
+    from fluctus_tpu import state_io
+    from fluctus_tpu.settings import Settings
+
+    f = lambda v: struct.pack("<f", v)
+    u = lambda v: struct.pack("<I", v)
+    v3 = lambda x, y, z: f(x) + f(y) + f(z)
+
+    blob = b"".join([
+        f(0.1), f(0.2),              # cameraRotation.x/y
+        f(1.5),                      # cameraSpeed
+        f(62.0),                     # fov
+        f(3.25),                     # focalDist
+        f(0.125),                    # apertureSize
+        v3(0.0, 0.0, -1.0),          # camera.dir
+        v3(1.0, 2.0, 5.0),           # camera.pos
+        v3(1.0, 0.0, 0.0),           # camera.right
+        v3(0.0, 1.0, 0.0),           # camera.up
+        v3(0.0, -1.0, 0.0),          # areaLight.N
+        v3(0.5, 3.0, 0.5),           # areaLight.pos
+        v3(1.0, 0.0, 0.0),           # areaLight.right
+        v3(0.0, 0.0, 1.0),           # areaLight.up
+        v3(6.0, 6.0, 6.0),           # areaLight.E
+        f(0.75), f(0.25),            # areaLight.size.x/y
+        f(1.25),                     # envMapStrength
+        u(7),                        # maxBounces
+        u(1), u(0), u(1), u(1), u(0),  # flags
+        f(0.8),                      # exposure
+        u(2),                        # tmOperator
+    ])
+    path = tmp_path / "state_ref.dat"
+    path.write_bytes(blob)
+
+    s = Settings()
+    env, exposure = state_io.load_state(str(path), s)
+    assert s.camera.camera_rotation == (np.float32(0.1), np.float32(0.2))
+    assert s.camera.camera_speed == np.float32(1.5)
+    assert s.camera.fov == 62.0
+    assert s.camera.focal_dist == 3.25
+    assert s.camera.aperture_size == 0.125
+    assert s.camera.pos == (1.0, 2.0, 5.0)
+    assert s.area_light.E == (6.0, 6.0, 6.0)
+    assert s.area_light.size == (0.75, 0.25)
+    assert env == 1.25
+    assert s.max_path_depth == 7
+    assert s.use_area_light and not s.use_env_map
+    assert s.sample_explicit and s.sample_implicit
+    assert not s.use_russian_roulette
+    assert exposure == np.float32(0.8)
+    assert s.tonemap == 2
+
+    out = tmp_path / "state_out.dat"
+    state_io.save_state(str(out), s, env_map_strength=env, exposure=exposure)
+    assert out.read_bytes() == blob
