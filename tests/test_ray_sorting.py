@@ -20,7 +20,7 @@ def test_sorted_trace_restores_order(monkeypatch):
     # uniquely identifies each ray so ordering bugs show up
     def fake_trace(o4s, d4s, tmax, arrays, static, any_hit, rt, interp):
         t = o4s[:, 0:1] * 2.0 + 1000.0
-        i = (d4s[:, 0:1] * 1e6).astype(jnp.int32)
+        i = jnp.abs(d4s[:, 0:1] * 1e6).astype(jnp.int32)
         return t, i
 
     monkeypatch.setattr(mt, "_trace", fake_trace)
@@ -38,7 +38,7 @@ def test_sorted_trace_restores_order(monkeypatch):
     np.testing.assert_allclose(np.asarray(t[:, 0]), o[:, 0] * 2.0 + 1000.0,
                                rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(i[:, 0]),
-                                  (d[:, 0] * 1e6).astype(np.int32))
+                                  np.abs(d[:, 0] * 1e6).astype(np.int32))
 
 
 def test_sort_key_locality():
