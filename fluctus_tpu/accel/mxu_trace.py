@@ -786,7 +786,7 @@ def _trace_rol3(o4, d4, tmax_col, t12, boxes, sboxes, scene_static, any_hit,
     b = o4.shape[0]
     nt = b // rt
 
-    order, cons = _tile_order(o4, d4, tmax_col, boxes, rt)
+    order, cons = _tile_order_dispatch(o4, d4, tmax_col, boxes, rt, interpret)
     ncl_pad = order.shape[1]
 
     rays = jnp.stack([o4[:, 0], o4[:, 1], o4[:, 2], o4[:, 3],
@@ -930,7 +930,7 @@ def _trace_rol2(o4, d4, tmax_col, txy_t, boxes, scene_static, any_hit,
     b = o4.shape[0]
     nt = b // rt
 
-    order, cons = _tile_order(o4, d4, tmax_col, boxes, rt)
+    order, cons = _tile_order_dispatch(o4, d4, tmax_col, boxes, rt, interpret)
     ncl_pad = order.shape[1]
 
     rays = jnp.stack([o4[:, 0], o4[:, 1], o4[:, 2], o4[:, 3],
@@ -980,7 +980,7 @@ def _trace_rol(o4, d4, tmax_col, t12, boxes, scene_static, any_hit,
     b = o4.shape[0]
     nt = b // rt
 
-    order, cons = _tile_order(o4, d4, tmax_col, boxes, rt)
+    order, cons = _tile_order_dispatch(o4, d4, tmax_col, boxes, rt, interpret)
     ncl_pad = order.shape[1]
 
     rays = jnp.stack([o4[:, 0], o4[:, 1], o4[:, 2], o4[:, 3],
@@ -1021,6 +1021,98 @@ def _trace_rol(o4, d4, tmax_col, t12, boxes, scene_static, any_hit,
 
 
 _CULL_INF = np.float32(1e30)
+
+
+def _tile_order_kernel(o_ref, tm_ref, box_ref, cons_ref, *, rt, ncl,
+                       ncl_pad):
+    """Exact per-ray slab tests against every cluster AABB, unioned over
+    the tile: one [ncl, rt] broadcast computation (no interval
+    arithmetic). cons_ref[c] = min over rays of the ray's true entry
+    lower bound if ANY ray can enter cluster c within its tmax, else
+    +inf. ~25 ops on [ncl, rt] per tile — a few us."""
+    O = o_ref[0]                      # [8, rt]
+    o0, o1, o2 = O[0:1], O[1:2], O[2:3]
+    d0, d1, d2 = O[4:5], O[5:6], O[6:7]
+    eps = 1e-30
+    i0 = 1.0 / jnp.where(d0 == 0.0, eps, d0)
+    i1 = 1.0 / jnp.where(d1 == 0.0, eps, d1)
+    i2 = 1.0 / jnp.where(d2 == 0.0, eps, d2)
+    tm = tm_ref[0]                    # [1, rt]
+
+    bx0 = box_ref[:, 0:1]             # [ncl, 1]
+    by0 = box_ref[:, 1:2]
+    bz0 = box_ref[:, 2:3]
+    bx1 = box_ref[:, 3:4]
+    by1 = box_ref[:, 4:5]
+    bz1 = box_ref[:, 5:6]
+
+    ax = (bx0 - o0) * i0              # [ncl, rt]
+    bx = (bx1 - o0) * i0
+    ay = (by0 - o1) * i1
+    by = (by1 - o1) * i1
+    az = (bz0 - o2) * i2
+    bz = (bz1 - o2) * i2
+    tnear = jnp.maximum(jnp.maximum(jnp.minimum(ax, bx),
+                                    jnp.minimum(ay, by)),
+                        jnp.minimum(az, bz))
+    tfar = jnp.minimum(jnp.minimum(jnp.maximum(ax, bx),
+                                   jnp.maximum(ay, by)),
+                       jnp.maximum(az, bz))
+    hit = (tfar >= 0.0) & (tnear <= tfar) & (tnear < tm)
+    entry = jnp.where(hit, jnp.maximum(tnear, 0.0), _CULL_INF)
+    cons = jnp.min(entry, axis=1, keepdims=True)          # [ncl, 1]
+    if ncl_pad > ncl:
+        cons = jnp.concatenate(
+            [cons, jnp.full((ncl_pad - ncl, 1), _CULL_INF, jnp.float32)],
+            axis=0)
+    cons_ref[0] = cons
+
+
+@partial(jax.jit, static_argnames=("rt",))
+def _tile_order_v2(o4, d4, tmax_col, boxes, rt):
+    """Per-tile candidate lists from EXACT per-ray slab tests (pallas),
+    sorted front-to-back by the tile's min entry bound. Same contract as
+    _tile_order but ~2x tighter lists on divergent bounce tiles (interval
+    arithmetic over a tile's direction spread admits nearly every
+    cluster; the union of true per-ray tests does not)."""
+    b = o4.shape[0]
+    nt = b // rt
+    ncl = boxes.shape[0]
+    ncl_pad = ncl + ((-ncl) % 8)
+
+    rays = jnp.stack([o4[:, 0], o4[:, 1], o4[:, 2], o4[:, 3],
+                      d4[:, 0], d4[:, 1], d4[:, 2], d4[:, 3]], axis=0)
+    rays = rays.reshape(8, nt, rt).transpose(1, 0, 2)     # [nt, 8, rt]
+    tm = tmax_col.reshape(nt, 1, rt)
+
+    kernel = partial(_tile_order_kernel, rt=rt, ncl=ncl, ncl_pad=ncl_pad)
+    cons = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, 8, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ncl_pad, 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nt, ncl_pad, 1), jnp.float32),
+    )(rays, tm, boxes)
+
+    key = cons[:, :, 0]                                   # [nt, ncl_pad]
+    idx = jnp.broadcast_to(jnp.arange(ncl_pad, dtype=jnp.int32)[None, :],
+                           (nt, ncl_pad))
+    skey, sidx = jax.lax.sort((key, idx), num_keys=1)
+    order = jnp.where(skey >= _CULL_INF, -1, sidx)
+    return (order.reshape(nt, ncl_pad, 1), skey.reshape(nt, ncl_pad, 1))
+
+
+def _tile_order_dispatch(o4, d4, tmax_col, boxes, rt, interpret):
+    if not interpret and _os.environ.get("FLT_TILE_ORDER", "2") == "2":
+        return _tile_order_v2(o4, d4, tmax_col, boxes, rt)
+    return _tile_order(o4, d4, tmax_col, boxes, rt)
 
 
 def _tile_order(o4, d4, tmax_col, boxes, rt):
@@ -1118,7 +1210,7 @@ def _trace(o4, d4, tmax_col, scene_arrays, scene_static, any_hit, ray_tile,
     rt = ray_tile
     b = o4.shape[0]
 
-    order, cons = _tile_order(o4, d4, tmax_col, boxes, rt)
+    order, cons = _tile_order_dispatch(o4, d4, tmax_col, boxes, rt, interpret)
     ncl_pad = order.shape[1]
 
     kernel = partial(_trace_kernel, rt=rt, tc=tc,

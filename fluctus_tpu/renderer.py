@@ -64,6 +64,8 @@ class Renderer:
         if env_name and os.path.exists(env_name):
             scene.load_env_map(env_name)
             use_env = True
+        elif env_name:
+            print(f"WARNING: env map not found: {env_name}")
         self.scene = scene
 
         # camera carried by the scene file (PBRT import, tracer.cpp:887-896)

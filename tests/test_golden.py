@@ -42,7 +42,9 @@ def test_golden_rmse(case):
         pytest.skip(f"golden {name} not generated yet")
     import make_goldens
     golden = np.load(path)["hdr"].astype(np.float32)
+    assert golden.mean() > 1e-3, f"golden {name} is (near) black"
 
+    settings.wf_buffer_size = 8192        # CPU-sized pool
     img = make_goldens.render(name, scene_file, env, settings, mutate,
                               TEST_SPP, w=TEST_W, h=TEST_H)
     assert np.isfinite(img).all()

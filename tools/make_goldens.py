@@ -62,10 +62,10 @@ def configs():
     s.use_env_map = True
     s.use_area_light = False
     s.max_path_depth = 6
-    s.camera.pos = (0.08, 0.12, 0.42)
-    s.camera.dir = (-0.15, -0.25, -1.0)
+    s.camera.pos = (-1.93, 5.2, 8.5)
+    s.camera.dir = (0.0, -0.49, -0.87)
     out.append(("gold_rings", f"{ASSETS}/gold_rings/gold_rings_bark.obj",
-                f"{ASSETS}/env_maps/day.hdr", s, None))
+                f"{ASSETS}/env_maps/night.hdr", s, None))
 
     s = Settings()
     s.use_env_map = True
