@@ -1366,6 +1366,9 @@ def _sorted_trace(o4, d4, tmax_col, scene, any_hit, ray_tile, interpret):
     boxes = scene.cluster_box
     lo = jnp.min(boxes[:, 0:3], axis=0)
     hi = jnp.max(boxes[:, 3:6], axis=0)
+    const_tmax = bool(tmax_col is None)
+    if const_tmax:   # exit clamp IS the tmax; recomputed after the sort
+        tmax_col = jnp.full((b, 1), F32_MAX, jnp.float32)
     tmax_col = _exit_clamp(o4, d4, tmax_col, lo, hi)
     key_mode = _os.environ.get("FLT_KEY", "oct")
     if key_mode == "dir":
@@ -1378,15 +1381,35 @@ def _sorted_trace(o4, d4, tmax_col, scene, any_hit, ray_tile, interpret):
     else:
         kmaj, kmin = _sort_key(o4, d4, lo, hi)
     # padding rows (and degenerate tmax<=0 rays) sort to the end so they
-    # cannot pollute real tiles' conservative bounds
-    kmaj = jnp.where(tmax_col[:, 0] <= 0.0, jnp.int32(0x7FFFFFFF), kmaj)
+    # cannot pollute real tiles' conservative bounds. For the default key
+    # (18-bit major) the two keys pack into ONE 30-bit sort key — each
+    # operand of a multi-payload lax.sort is an offload-staged column, so
+    # fewer operands is a direct win.
     idx = jnp.arange(b, dtype=jnp.int32)
-    ops = (kmaj, kmin, idx, o4[:, 0], o4[:, 1], o4[:, 2],
-           d4[:, 0], d4[:, 1], d4[:, 2], tmax_col[:, 0])
-    srt = jax.lax.sort(ops, num_keys=2)
-    _, _, sidx, ox, oy, oz, dx, dy, dz, tm = srt
+    if key_mode == "oct" and not any_hit:
+        # shadow (any-hit) rays keep the full 2-key sort: their direction
+        # coherence is what makes occlusion tiles cheap, and the packed
+        # key drops the z-direction bits (measured 55 -> 75 ms)
+        skey = (kmaj << 12) | (kmin >> 9)
+        skey = jnp.where(tmax_col[:, 0] <= 0.0, jnp.int32(0x7FFFFFFF), skey)
+        ops = (skey, idx, o4[:, 0], o4[:, 1], o4[:, 2],
+               d4[:, 0], d4[:, 1], d4[:, 2])
+        if not const_tmax:
+            ops = ops + (tmax_col[:, 0],)
+        srt = jax.lax.sort(ops, num_keys=1)
+        sidx, ox, oy, oz, dx, dy, dz = srt[1:8]
+        tm = srt[8] if not const_tmax else None
+    else:
+        kmaj = jnp.where(tmax_col[:, 0] <= 0.0, jnp.int32(0x7FFFFFFF), kmaj)
+        ops = (kmaj, kmin, idx, o4[:, 0], o4[:, 1], o4[:, 2],
+               d4[:, 0], d4[:, 1], d4[:, 2], tmax_col[:, 0])
+        srt = jax.lax.sort(ops, num_keys=2)
+        _, _, sidx, ox, oy, oz, dx, dy, dz, tm = srt
     o4s = jnp.stack([ox, oy, oz, jnp.ones(b)], axis=1)
     d4s = jnp.stack([dx, dy, dz, jnp.zeros(b)], axis=1)
+    if tm is None:
+        tm = _exit_clamp(o4s, d4s,
+                         jnp.full((b, 1), F32_MAX, jnp.float32), lo, hi)[:, 0]
     t, i = _dispatch_trace(o4s, d4s, tm.reshape(b, 1), scene, any_hit,
                            ray_tile, interpret)
     # restore original order: sort by the carried original index
@@ -1411,8 +1434,9 @@ def closest_hit_mxu_full(orig: Vec3, d: Vec3, scene: MXUScene, t_max=None,
     n = orig.x.shape[0]
     o4, d4, tmax_col = _ray_inputs(orig, d, scene, t_max, ray_tile)
     if SORT_RAYS and not interpret:
-        t, i = _sorted_trace(o4, d4, tmax_col, scene, False, ray_tile,
-                             interpret)
+        t, i = _sorted_trace(o4, d4,
+                             None if t_max is None else tmax_col,
+                             scene, False, ray_tile, interpret)
     else:
         t, i = _trace(
             o4, d4, tmax_col,
@@ -1648,29 +1672,34 @@ def _resolve_v2(col, o4, d4, txy, attrs, scene_static, ray_tile, interpret):
     )(col, o4, d4, order, txy, attrs)
 
 
-def _resolve_kernel_v3(col_ref, o_ref, d_ref, ord_ref, tbl_ref, out_ref,
-                       *, rt, tc, ncl_pad):
+def _resolve_kernel_v3(col_ref, o_ref, d_ref, tbl_ref, out_ref,
+                       *, rt, tc):
     """Winner-attribute resolve, v3: per winner cluster ONE single-pass
     bf16 one-hot product fetches the whole 128-lane B16 row (transforms +
     attributes; every entry bf16-exact by construction — see B16), then
     the epilogue reconstructs values and barycentrically interpolates the
     per-vertex floats at full f32 precision. ~6x less MXU work than the
-    v2 HIGHEST-precision [rt,3tc]x[3tc,40] products."""
+    v2 HIGHEST-precision [rt,3tc]x[3tc,40] products.
+
+    The tile's distinct winner clusters are discovered IN-KERNEL by an
+    ascending min-scan over the rays' winner ids — no precomputed winner
+    lists (the JAX-level lane sorts those needed were offload ops)."""
     out_ref[:] = jnp.zeros((rt, ATTR_COLS), jnp.float32)
     col = col_ref[:]                      # [rt,1] padded winner column
     O = o_ref[:]
     D = d_ref[:]
+    ccl = jnp.where(col >= 0, col // tc, jnp.int32(0x7FFFFFFF))
 
     def cond(carry):
-        slot, stop = carry
-        return (slot < ncl_pad) & ~stop
+        prev = carry
+        return jnp.min(jnp.where(ccl > prev, ccl,
+                                 jnp.int32(0x7FFFFFFF))) < 0x7FFFFFFF
 
     def body(carry):
-        slot, _ = carry
-        c = ord_ref[0, slot, 0]
+        prev = carry
+        c = jnp.min(jnp.where(ccl > prev, ccl, jnp.int32(0x7FFFFFFF)))
 
-        @pl.when(c >= 0)
-        def _():
+        if True:
             local = col - c * tc
             active = (local >= 0) & (local < tc)
             lane = jax.lax.broadcasted_iota(jnp.int32, (rt, tc), 1)
@@ -1718,11 +1747,9 @@ def _resolve_kernel_v3(col_ref, o_ref, d_ref, ord_ref, tbl_ref, out_ref,
             ], axis=1)
             out_ref[:] = out_ref[:] + res * am
 
-        nxt = slot + 1
-        guard = jnp.minimum(nxt, ncl_pad - 1)
-        return nxt, ord_ref[0, guard, 0] < 0
+        return c
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), ord_ref[0, 0, 0] < 0))
+    jax.lax.while_loop(cond, body, jnp.int32(-1))
 
 
 @partial(jax.jit, static_argnames=("scene_static", "ray_tile", "interpret"))
@@ -1730,9 +1757,7 @@ def _resolve_v3(col, o4, d4, tbl, scene_static, ray_tile, interpret):
     n_clusters, tc = scene_static
     rt = ray_tile
     b = col.shape[0]
-    order = _winner_lists(col, n_clusters, tc, rt)
-    ncl_pad = order.shape[1]
-    kernel = partial(_resolve_kernel_v3, rt=rt, tc=tc, ncl_pad=ncl_pad)
+    kernel = partial(_resolve_kernel_v3, rt=rt, tc=tc)
     return pl.pallas_call(
         kernel,
         grid=(b // rt,),
@@ -1740,8 +1765,6 @@ def _resolve_v3(col, o4, d4, tbl, scene_static, ray_tile, interpret):
             pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ncl_pad, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bf16 table resident
         ],
         out_specs=pl.BlockSpec((rt, ATTR_COLS), lambda i: (i, 0),
@@ -1750,7 +1773,7 @@ def _resolve_v3(col, o4, d4, tbl, scene_static, ray_tile, interpret):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_RESOLVE_V2_VMEM_BYTES + (16 << 20)),
         interpret=interpret,
-    )(col, o4, d4, order, tbl)
+    )(col, o4, d4, tbl)
 
 
 # resident-table resolve needs txy+attrs in VMEM (~128 MB/chip); beyond

@@ -130,7 +130,7 @@ def trace_extension(orig: Vec3, d: Vec3, scene: DeviceScene,
             rt = mt.RAY_TILE
             o4, d4, tmax_col = mt._ray_inputs(orig, d, scene.mxu, None, rt)
             if mt.SORT_RAYS and not interp:
-                t2, col2 = mt._sorted_trace(o4, d4, tmax_col, scene.mxu,
+                t2, col2 = mt._sorted_trace(o4, d4, None, scene.mxu,
                                             False, rt, interp)
             else:
                 t2, col2 = mt._trace(
