@@ -49,7 +49,7 @@ from ..vec import Vec3, dot, is_zero, length, luminance, where as vwhere
 from .camera import generate_camera_rays
 from .integrator_mk import FeatureFilm, Film
 from .trace import (DeviceScene, tangent_space_normal, trace_extension,
-                    trace_shadow)
+                    trace_extension_raw, trace_shadow)
 
 
 class WfPool(NamedTuple):
@@ -137,7 +137,8 @@ def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
     sub-ring (its film/spp slice) and a private pool slice + ring cursor,
     so the whole segment is shard-local (clcontext.cpp:917-927 ring
     semantics preserved per shard; see parallel/mesh.py)."""
-    hit, sp, occluded = wf_trace_phase(scene, state.pool, params, config)
+    raw, occluded = wf_trace_phase(scene, state.pool, params, config)
+    hit, sp = wf_resolve_phase(scene, state.pool, params, config, raw)
     return wf_logic_phase(scene, params, state, config, hit, sp, occluded,
                           first_iteration, pixel_base)
 
@@ -145,23 +146,35 @@ def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
 def wf_trace_phase(scene: DeviceScene, pool: WfPool, params: RenderParams,
                    config: RenderConfig):
     """Extension + shadow traces for the rays staged last segment
-    (wf_extrays.cl / wf_shadowrays.cl) + winner attribute resolve. Split
-    out so the renderer can dispatch it as its own program — coherence
-    sorts and the resolve then run far from the logic phase's
-    gather/scatter offload ops, which contend when everything is fused
-    into one program on this TPU."""
+    (wf_extrays.cl / wf_shadowrays.cl). Split out so the renderer can
+    dispatch it as its own program — the coherence sorts then run far
+    from the resolve/logic programs' offload ops, which contend when
+    everything is fused into one program on this TPU. Returns
+    (raw, occluded) where raw = (t, winner_col) on the MXU path or None
+    (plain-JAX backends resolve inside trace_extension)."""
     cfg = config
     light = params.area_light if cfg.use_area_light else None
-    res = trace_extension(pool.orig, pool.dir, scene, light,
-                          jnp.asarray(cfg.sample_impl and cfg.use_area_light),
-                          want_shading=True)
-    hit, sp = res
+    raw = None
+    if scene.mxu is not None and scene.mxu.attrs is not None:
+        raw = trace_extension_raw(pool.orig, pool.dir, scene)
     # non-pending lanes get tmax=0: the coherence sort pushes them to the
     # tail tiles, whose candidate lists are empty -> near-free occupancy cut
     shadow_tmax = jnp.where(pool.shadow_pending, pool.shadow_len, 0.0)
     occluded = trace_shadow(pool.shadow_orig, pool.shadow_dir, shadow_tmax,
                             scene, light, jnp.asarray(cfg.use_area_light))
-    return hit, sp, occluded
+    return raw, occluded
+
+
+def wf_resolve_phase(scene: DeviceScene, pool: WfPool, params: RenderParams,
+                     config: RenderConfig, raw):
+    """Winner-attribute resolve + hit construction (its own dispatch on
+    the phased path: one pallas call with zero offload ops)."""
+    cfg = config
+    light = params.area_light if cfg.use_area_light else None
+    return trace_extension(pool.orig, pool.dir, scene, light,
+                           jnp.asarray(cfg.sample_impl and
+                                       cfg.use_area_light),
+                           want_shading=True, raw=raw)
 
 
 def wf_logic_phase(scene: DeviceScene, params: RenderParams, state: WfState,

@@ -114,33 +114,44 @@ def shading_from_attrs(row, col, tex_meta: bool = False):
         n_meta=meta(mt.ATTR_TN_WH, mt.ATTR_TN_OFF))
 
 
+def trace_extension_raw(orig: Vec3, d: Vec3, scene: DeviceScene):
+    """Raw MXU closest-hit only: (t, winner_col) without the attribute
+    resolve — lets the wavefront dispatch the resolve as its own program
+    (resolve_extension) away from the traces' sort offload ops."""
+    from ..accel import mxu_trace as mt
+    interp = _interpret_pallas()
+    n = orig.x.shape[0]
+    rt = mt.RAY_TILE
+    o4, d4, tmax_col = mt._ray_inputs(orig, d, scene.mxu, None, rt)
+    if mt.SORT_RAYS and not interp:
+        t2, col2 = mt._sorted_trace(o4, d4, None, scene.mxu,
+                                    False, rt, interp)
+    else:
+        t2, col2 = mt._trace(
+            o4, d4, tmax_col,
+            (scene.mxu.tx, scene.mxu.ty, scene.mxu.tz,
+             scene.mxu.cluster_box),
+            (scene.mxu.n_clusters, scene.mxu.cluster_size),
+            False, rt, interp)
+    return t2[:n, 0], col2[:n, 0]
+
+
 def trace_extension(orig: Vec3, d: Vec3, scene: DeviceScene,
                     area_light: Optional[AreaLight],
-                    check_area_light, want_shading: bool = False):
+                    check_area_light, want_shading: bool = False,
+                    raw=None):
     """Closest hit + optional implicit area-light quad (wf_extrays.cl:26-29).
     check_area_light: traced bool (sampleImpl && useAreaLight).
-    Returns Hit, or (Hit, ShadingParams-or-None) when want_shading."""
+    Returns Hit, or (Hit, ShadingParams-or-None) when want_shading.
+    raw: optional precomputed (t, col) from trace_extension_raw."""
     sp = None
     if scene.mxu is not None:
         from ..accel import mxu_trace as mt
         interp = _interpret_pallas()
         if scene.mxu.attrs is not None:
             # gather-free: trace + attribute/material resolve on the MXU
-            n = orig.x.shape[0]
-            rt = mt.RAY_TILE
-            o4, d4, tmax_col = mt._ray_inputs(orig, d, scene.mxu, None, rt)
-            if mt.SORT_RAYS and not interp:
-                t2, col2 = mt._sorted_trace(o4, d4, None, scene.mxu,
-                                            False, rt, interp)
-            else:
-                t2, col2 = mt._trace(
-                    o4, d4, tmax_col,
-                    (scene.mxu.tx, scene.mxu.ty, scene.mxu.tz,
-                     scene.mxu.cluster_box),
-                    (scene.mxu.n_clusters, scene.mxu.cluster_size),
-                    False, rt, interp)
-            t = t2[:n, 0]
-            col = col2[:n, 0]
+            t, col = raw if raw is not None \
+                else trace_extension_raw(orig, d, scene)
             row = mt.resolve_hits_mxu(orig, d, t, col, scene.mxu,
                                       interpret=interp)
             t = jnp.where(col >= 0, row[:, mt.ATTR_HITT], t)

@@ -247,7 +247,8 @@ class Renderer:
     # -- wavefront (throughput) mode ------------------------------------------
     def init_wavefront(self, num_tasks: Optional[int] = None):
         """Reset the persistent path pool (wf_reset analogue)."""
-        from .core.integrator_wf import (wf_logic_phase, wf_reset, wf_segment,
+        from .core.integrator_wf import (wf_logic_phase, wf_reset,
+                                         wf_resolve_phase, wf_segment,
                                          wf_trace_phase)
         self.num_tasks = num_tasks or self.settings.wf_buffer_size
         self._wf_state = wf_reset(self.config, self.num_tasks,
@@ -262,6 +263,8 @@ class Renderer:
             self._wf_step = jax.jit(
                 wf_segment, static_argnames=("config", "first_iteration"))
             self._wf_trace = jax.jit(wf_trace_phase, static_argnames="config")
+            self._wf_resolve = jax.jit(wf_resolve_phase,
+                                       static_argnames="config")
             self._wf_logic = jax.jit(
                 wf_logic_phase, static_argnames=("config", "first_iteration"))
         self._wf_counters = []
@@ -272,9 +275,12 @@ class Renderer:
         and only synchronizes at the end (the reference's finishQueue)."""
         for _ in range(segments):
             if self._wf_phased:
-                hit, sp, occ = self._wf_trace(
+                raw, occ = self._wf_trace(
                     self.device_scene, self._wf_state.pool, self.params,
                     self.config)
+                hit, sp = self._wf_resolve(
+                    self.device_scene, self._wf_state.pool, self.params,
+                    self.config, raw)
                 self._wf_state, cnt = self._wf_logic(
                     self.device_scene, self.params, self._wf_state,
                     self.config, hit, sp, occ)
