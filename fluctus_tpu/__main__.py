@@ -79,6 +79,19 @@ def main(argv=None):
                 n = min(chunk, args.wavefront - done)
                 r.render_wavefront(n)
                 done += n
+                # maxRenderTime / maxSpp stop conditions
+                # (Tracer::shouldSkipRender, tracer.cpp:202-213)
+                if settings.max_render_time > 0 and \
+                        time.time() - t0 > settings.max_render_time:
+                    print(f"  maxRenderTime ({settings.max_render_time}s) "
+                          "reached")
+                    break
+                if settings.max_spp > 0:
+                    import numpy as _np
+                    if float(_np.asarray(
+                            r.wavefront_film().weight).min()) >= settings.max_spp:
+                        print(f"  maxSpp ({settings.max_spp}) reached")
+                        break
                 if args.preview_every and done < args.wavefront:
                     # progressive preview: numbered frame + 1 Hz-style stats
                     # (Tracer::update display loop, tracer.cpp:184-200)

@@ -95,8 +95,12 @@ class Settings:
         s = Settings()
         if not os.path.exists(path):
             return s
-        with open(path) as f:
-            j = json.load(f)
+        try:
+            with open(path) as f:
+                j = json.load(f)
+        except (json.JSONDecodeError, OSError) as e:
+            print(f"settings load failed ({path}): {e}; using defaults")
+            return s
         if "release" not in j or "debug" not in j:
             return s
         s.import_json(j["release"])
