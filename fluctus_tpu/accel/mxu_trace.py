@@ -1672,7 +1672,7 @@ def _resolve_v2(col, o4, d4, txy, attrs, scene_static, ray_tile, interpret):
     )(col, o4, d4, order, txy, attrs)
 
 
-def _resolve_kernel_v3(col_ref, o_ref, d_ref, tbl_ref, out_ref,
+def _resolve_kernel_v3(col_ref, o_ref, d_ref, tbl_ref, out_ref, acc_ref,
                        *, rt, tc):
     """Winner-attribute resolve, v3: per winner cluster ONE single-pass
     bf16 one-hot product fetches the whole 128-lane B16 row (transforms +
@@ -1684,7 +1684,7 @@ def _resolve_kernel_v3(col_ref, o_ref, d_ref, tbl_ref, out_ref,
     The tile's distinct winner clusters are discovered IN-KERNEL by an
     ascending min-scan over the rays' winner ids — no precomputed winner
     lists (the JAX-level lane sorts those needed were offload ops)."""
-    out_ref[:] = jnp.zeros((rt, ATTR_COLS), jnp.float32)
+    acc_ref[:] = jnp.zeros((rt, B16.COLS), jnp.float32)
     col = col_ref[:]                      # [rt,1] padded winner column
     O = o_ref[:]
     D = d_ref[:]
@@ -1697,17 +1697,26 @@ def _resolve_kernel_v3(col_ref, o_ref, d_ref, tbl_ref, out_ref,
 
     def body(carry):
         prev = carry
+        # each hit ray's one-hot row is nonzero in exactly ONE visit (its
+        # winner cluster), so the raw fetched rows simply ACCUMULATE; the
+        # whole reconstruction epilogue runs once per tile, after the loop
         c = jnp.min(jnp.where(ccl > prev, ccl, jnp.int32(0x7FFFFFFF)))
+        local = col - c * tc
+        active = (local >= 0) & (local < tc)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rt, tc), 1)
+        onehot = ((lane == local) & active).astype(jnp.bfloat16)
+        off = pl.multiple_of(c * tc, 128)
+        acc_ref[:] = acc_ref[:] + jnp.dot(
+            onehot, tbl_ref[pl.ds(off, tc), :],
+            preferred_element_type=jnp.float32)           # [rt, 128]
+        return c
 
+    jax.lax.while_loop(cond, body, jnp.int32(-1))
+
+    if True:
         if True:
-            local = col - c * tc
-            active = (local >= 0) & (local < tc)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (rt, tc), 1)
-            onehot = ((lane == local) & active).astype(jnp.bfloat16)
-            off = pl.multiple_of(c * tc, 128)
-            row = jnp.dot(onehot, tbl_ref[pl.ds(off, tc), :],
-                          preferred_element_type=jnp.float32)  # [rt, 128]
-
+            row = acc_ref[:]
+            active = col >= 0
             g = lambda a, w: row[:, a:a + w]
             txy = g(B16.TXY_HI, 12) + g(B16.TXY_LO, 12)
             oz = jnp.sum(O * txy[:, 8:12], axis=1, keepdims=True)
@@ -1745,11 +1754,7 @@ def _resolve_kernel_v3(col_ref, o_ref, d_ref, tbl_ref, out_ref,
                 wh(B16.TN_W, B16.TN_H), c3(B16.TN_OFF),     # 33-34
                 jnp.zeros((rt, ATTR_COLS - 35), jnp.float32),
             ], axis=1)
-            out_ref[:] = out_ref[:] + res * am
-
-        return c
-
-    jax.lax.while_loop(cond, body, jnp.int32(-1))
+            out_ref[:] = res * am
 
 
 @partial(jax.jit, static_argnames=("scene_static", "ray_tile", "interpret"))
@@ -1770,6 +1775,7 @@ def _resolve_v3(col, o4, d4, tbl, scene_static, ray_tile, interpret):
         out_specs=pl.BlockSpec((rt, ATTR_COLS), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, ATTR_COLS), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rt, B16.COLS), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_RESOLVE_V2_VMEM_BYTES + (16 << 20)),
         interpret=interpret,
