@@ -179,9 +179,13 @@ def wf_resolve_phase(scene: DeviceScene, pool: WfPool, params: RenderParams,
 
 def wf_logic_phase(scene: DeviceScene, params: RenderParams, state: WfState,
                    config: RenderConfig, hit, sp, occluded,
-                   first_iteration: bool = False, pixel_base=None):
+                   first_iteration: bool = False, pixel_base=None,
+                   defer_splat: bool = False):
     """Logic + shading + NEE + material sampling + raygen + splat — the
-    post-trace half of the segment (wf_logic.cl onward)."""
+    post-trace half of the segment (wf_logic.cl onward). With
+    defer_splat (static; throughput mode only) the film is left
+    untouched and (seg, rgbw) splat records are returned as a third
+    output for batched application via apply_splats."""
     cfg = config
     pool = state.pool
     n = pool.seed.shape[0]
@@ -291,19 +295,27 @@ def wf_logic_phase(scene: DeviceScene, params: RenderParams, state: WfState,
                       jnp.where(splat, Ei.y, 0.0),
                       jnp.where(splat, Ei.z, 0.0),
                       splat.astype(jnp.float32)], axis=1)
-    acc = jax.ops.segment_sum(data, seg,
-                              num_segments=num_pixels + 1)[:num_pixels]
-    film = Film(
-        color=Vec3(film.color.x + acc[:, 0], film.color.y + acc[:, 1],
-                   film.color.z + acc[:, 2]),
-        weight=film.weight + acc[:, 3])
-    spp_counts = state.spp
-    if cfg.max_spp > 0:
-        spp_counts = jnp.minimum(
-            spp_counts + jax.ops.segment_sum(
-                splat.astype(jnp.int32), seg,
-                num_segments=num_pixels + 1)[:num_pixels],
-            cfg.max_spp)
+    splat_records = None
+    if defer_splat:
+        # throughput mode: hand the (pixel, rgbw) records to the caller,
+        # which batches K segments into ONE segment_sum — the scatter's
+        # num_segments-proportional cost (~30 ms @2M pixels) amortizes
+        splat_records = (seg, data)
+        spp_counts = state.spp
+    else:
+        acc = jax.ops.segment_sum(data, seg,
+                                  num_segments=num_pixels + 1)[:num_pixels]
+        film = Film(
+            color=Vec3(film.color.x + acc[:, 0], film.color.y + acc[:, 1],
+                       film.color.z + acc[:, 2]),
+            weight=film.weight + acc[:, 3])
+        spp_counts = state.spp
+        if cfg.max_spp > 0:
+            spp_counts = jnp.minimum(
+                spp_counts + jax.ops.segment_sum(
+                    splat.astype(jnp.int32), seg,
+                    num_segments=num_pixels + 1)[:num_pixels],
+                cfg.max_spp)
 
     # =====================================================================
     # Shading (surviving paths): normal map + NEE generation + material
@@ -471,4 +483,22 @@ def wf_logic_phase(scene: DeviceScene, params: RenderParams, state: WfState,
                         curr_pixel=jnp.mod(state.curr_pixel + n_regen,
                                            num_pixels),
                         features=features)
+    if defer_splat:
+        return new_state, counters, splat_records
     return new_state, counters
+
+
+def apply_splats(film: Film, segs, datas) -> Film:
+    """Apply K segments' deferred splat records in one batched
+    segment_sum (the scatter's num_segments-proportional cost amortizes
+    over K). segs: [K, n] int32 pixel ids (num_pixels = overflow);
+    datas: [K, n, 4] rgbw."""
+    num_pixels = film.weight.shape[0]
+    seg = segs.reshape(-1)
+    data = datas.reshape(-1, 4)
+    acc = jax.ops.segment_sum(data, seg,
+                              num_segments=num_pixels + 1)[:num_pixels]
+    return Film(
+        color=Vec3(film.color.x + acc[:, 0], film.color.y + acc[:, 1],
+                   film.color.z + acc[:, 2]),
+        weight=film.weight + acc[:, 3])

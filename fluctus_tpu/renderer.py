@@ -247,9 +247,9 @@ class Renderer:
     # -- wavefront (throughput) mode ------------------------------------------
     def init_wavefront(self, num_tasks: Optional[int] = None):
         """Reset the persistent path pool (wf_reset analogue)."""
-        from .core.integrator_wf import (wf_logic_phase, wf_reset,
-                                         wf_resolve_phase, wf_segment,
-                                         wf_trace_phase)
+        from .core.integrator_wf import (apply_splats, wf_logic_phase,
+                                         wf_reset, wf_resolve_phase,
+                                         wf_segment, wf_trace_phase)
         self.num_tasks = num_tasks or self.settings.wf_buffer_size
         self._wf_state = wf_reset(self.config, self.num_tasks,
                                   world_radius=self.world_radius)
@@ -266,13 +266,25 @@ class Renderer:
             self._wf_resolve = jax.jit(wf_resolve_phase,
                                        static_argnames="config")
             self._wf_logic = jax.jit(
-                wf_logic_phase, static_argnames=("config", "first_iteration"))
+                wf_logic_phase,
+                static_argnames=("config", "first_iteration", "defer_splat"))
+            self._wf_apply_splats = jax.jit(apply_splats)
         self._wf_counters = []
+        self._splat_segs = []
+        self._splat_datas = []
+        # batched film scatter: K segments of splat records -> one
+        # segment_sum (throughput mode only; exact-spp needs K=1).
+        # Default 1 (off): measured 8.9 vs 9.9 Mrays/s at K=4 — the
+        # in-program scatter overlaps other work better than the
+        # amortization saves.
+        self._splat_every = int(os.environ.get("FLT_SPLAT_EVERY", "1"))
 
     def render_wavefront(self, segments: int, sync: bool = True):
         """Advance the wavefront `segments` steps (Tracer::update loop body,
         tracer.cpp:269-283). Dispatch is asynchronous: the host runs ahead
         and only synchronizes at the end (the reference's finishQueue)."""
+        defer = (self._wf_phased and self.config.max_spp == 0
+                 and self._splat_every > 1)
         for _ in range(segments):
             if self._wf_phased:
                 raw, occ = self._wf_trace(
@@ -281,17 +293,44 @@ class Renderer:
                 hit, sp = self._wf_resolve(
                     self.device_scene, self._wf_state.pool, self.params,
                     self.config, raw)
-                self._wf_state, cnt = self._wf_logic(
-                    self.device_scene, self.params, self._wf_state,
-                    self.config, hit, sp, occ)
+                if defer:
+                    self._wf_state, cnt, rec = self._wf_logic(
+                        self.device_scene, self.params, self._wf_state,
+                        self.config, hit, sp, occ, defer_splat=True)
+                    self._splat_segs.append(rec[0])
+                    self._splat_datas.append(rec[1])
+                    if len(self._splat_segs) >= self._splat_every:
+                        self._flush_splats()
+                else:
+                    self._wf_state, cnt = self._wf_logic(
+                        self.device_scene, self.params, self._wf_state,
+                        self.config, hit, sp, occ)
             else:
                 self._wf_state, cnt = self._wf_step(
                     self.device_scene, self.params, self._wf_state,
                     self.config)
             self._wf_counters.append(cnt)
         if sync:
+            self._flush_splats()
             jax.block_until_ready(self._wf_state.film.color.x)
         return self._wf_state
+
+    def _flush_splats(self):
+        """Apply pending deferred splat records in one batched scatter.
+        Pads to the full batch size so only one program shape compiles."""
+        if not getattr(self, "_splat_segs", None):
+            return
+        npix = self.config.num_pixels
+        while len(self._splat_segs) < self._splat_every:
+            self._splat_segs.append(
+                jnp.full_like(self._splat_segs[0], npix))
+            self._splat_datas.append(jnp.zeros_like(self._splat_datas[0]))
+        segs = jnp.stack(self._splat_segs)
+        datas = jnp.stack(self._splat_datas)
+        self._splat_segs = []
+        self._splat_datas = []
+        film = self._wf_apply_splats(self._wf_state.film, segs, datas)
+        self._wf_state = self._wf_state._replace(film=film)
 
     def wavefront_stats(self) -> RenderStats:
         """Queue-counter-derived stats (tracer.cpp:361-368). Counters are
@@ -311,6 +350,7 @@ class Renderer:
                            jnp.int32(samp))
 
     def wavefront_film(self):
+        self._flush_splats()
         if self._wf_state.features is not None:
             self.features = self._wf_state.features
         return self._wf_state.film
