@@ -37,11 +37,21 @@ def main(argv=None):
     ap.add_argument("--save-state", action="store_true",
                     help="save the render state (camera/light/flags) per "
                     "scene hash after rendering (F2 in the reference)")
+    ap.add_argument("--interactive", action="store_true",
+                    help="headless interactive REPL (WASD camera, state "
+                    "save/load, progressive preview — the Tracer-UI "
+                    "stand-in)")
     ap.add_argument("--settings", default="settings.json")
     ap.add_argument("--benchmark", action="store_true",
                     help="run the fixed benchmark protocol")
     ap.add_argument("-o", "--output", default=None, help="output image path")
     args = ap.parse_args(argv)
+
+    if os.environ.get("FLT_FORCE_CPU") == "1":
+        # headless smoke runs on machines whose sitecustomize force-
+        # registers the TPU plugin: env JAX_PLATFORMS alone is overridden
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from .settings import Settings
     settings = Settings.load(args.settings)
@@ -68,6 +78,12 @@ def main(argv=None):
         r.load_scene(scene_file, env_map=args.env)
         base = os.path.splitext(os.path.basename(scene_file))[0]
         out = args.output or f"output_{base}.png"
+
+        if args.interactive:
+            from .interactive import run_interactive
+            r.num_tasks = args.tasks
+            run_interactive(r, out_path=out)
+            continue
 
         if args.wavefront > 0:
             r.init_wavefront(args.tasks)

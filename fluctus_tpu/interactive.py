@@ -1,0 +1,111 @@
+"""Headless interactive session — the Tracer-UI stand-in.
+
+The reference's GL window handles WASD/RF camera movement, arrow-key
+rotation, F1/F2 state load/save and live progressive display
+(tracer.cpp:389-1090, window.cpp). On a display-less TPU host the same
+controls run as a line-oriented REPL: each command mutates the render
+state exactly like the reference's key handler (movement scaled by
+cameraSpeed, rotation in degrees), restarts accumulation, renders a few
+wavefront segments and writes a preview PNG.
+
+Commands:
+  w/s/a/d/r/f        move camera (forward/back/left/right/up/down)
+  look <dx> <dy>     rotate camera (degrees, like arrow keys)
+  speed <v>          set cameraSpeed (reference '+'/'-')
+  fov <deg>          vertical field of view
+  spp <n>            segments rendered per preview refresh
+  save | load        render state to/from data/states (F2 / F1)
+  png <path>         write the current accumulation
+  q                  quit
+"""
+
+from __future__ import annotations
+
+import shlex
+import sys
+
+
+def run_interactive(renderer, out_path: str = "preview.png",
+                    input_stream=None, echo: bool = True):
+    """Drive `renderer` from a command stream (stdin by default).
+    Returns the number of commands processed (for tests)."""
+    stream = input_stream or sys.stdin
+    segments = 8
+    processed = 0
+
+    def refresh():
+        renderer.params = renderer._make_params()
+        renderer.reset()
+        renderer.init_wavefront(renderer.num_tasks
+                                if getattr(renderer, "num_tasks", None)
+                                else None)
+        renderer.render_wavefront(segments)
+        renderer.film = renderer.wavefront_film()
+        renderer.save_image(out_path)
+        import numpy as np
+        spp = float(np.asarray(renderer.film.weight).mean())
+        if echo:
+            print(f"  -> {out_path} (avg {spp:.1f} spp)")
+
+    def move(axis, sign):
+        c = renderer.settings.camera
+        step = c.camera_speed * sign
+        base = {"fwd": c.dir, "right": c.right, "up": c.up}[axis]
+        c.pos = (c.pos[0] + base[0] * step, c.pos[1] + base[1] * step,
+                 c.pos[2] + base[2] * step)
+
+    def look(dx, dy):
+        s = renderer.settings
+        rx, ry = s.camera.camera_rotation
+        s.camera.camera_rotation = (rx + dx, ry + dy)
+        s._calc_camera_matrix()
+
+    if echo:
+        print("interactive mode — w/s/a/d/r/f, look, speed, fov, spp, "
+              "save, load, png, q")
+    for line in stream:
+        cmd = shlex.split(line.strip())
+        if not cmd:
+            continue
+        op = cmd[0].lower()
+        processed += 1
+        try:
+            if op == "q":
+                break
+            elif op in ("w", "s"):
+                move("fwd", +1 if op == "w" else -1)
+                refresh()
+            elif op in ("d", "a"):
+                move("right", +1 if op == "d" else -1)
+                refresh()
+            elif op in ("r", "f"):
+                move("up", +1 if op == "r" else -1)
+                refresh()
+            elif op == "look":
+                look(float(cmd[1]), float(cmd[2]) if len(cmd) > 2 else 0.0)
+                refresh()
+            elif op == "speed":
+                renderer.settings.camera.camera_speed = float(cmd[1])
+            elif op == "fov":
+                renderer.settings.camera.fov = float(cmd[1])
+                refresh()
+            elif op == "spp":
+                segments = max(1, int(cmd[1]))
+            elif op == "save":
+                print(f"  saved: {renderer.save_state()}")
+            elif op == "load":
+                from . import state_io
+                path = state_io.state_path(renderer.data_dir,
+                                           renderer.scene.hash)
+                state_io.load_state(path, renderer.settings)
+                renderer.params = renderer._make_params()
+                refresh()
+            elif op == "png":
+                renderer.film = renderer.wavefront_film()
+                renderer.save_image(cmd[1])
+            else:
+                print(f"  ? unknown command: {op}")
+                processed -= 1
+        except Exception as e:
+            print(f"  error: {e}")
+    return processed

@@ -1,0 +1,39 @@
+"""Headless interactive REPL (Tracer-UI stand-in): commands mutate camera
+state like the reference key handler and refresh the preview."""
+
+import io
+import os
+
+import numpy as np
+
+from fluctus_tpu.interactive import run_interactive
+from fluctus_tpu.renderer import Renderer
+from fluctus_tpu.settings import Settings
+
+
+def test_interactive_session(tmp_path):
+    s = Settings()
+    s.use_env_map = True
+    s.use_area_light = False
+    s.max_path_depth = 2
+    s.camera.pos = (0.0, 1.0, 4.0)
+    s.camera.dir = (0.0, -0.15, -1.0)
+    s.camera.camera_speed = 0.5
+    s.wf_buffer_size = 2048
+    r = Renderer(16, 16, settings=s, data_dir=str(tmp_path / "data"))
+    r.load_scene("/root/reference/assets/teapot.ply",
+                 env_map="/root/reference/assets/env_maps/night.hdr")
+
+    out = str(tmp_path / "preview.png")
+    script = io.StringIO("spp 2\nw\nlook 10 0\nsave\nload\nq\n")
+    n = run_interactive(r, out_path=out, input_stream=script, echo=False)
+    assert n == 6
+    assert os.path.exists(out)
+    # camera moved forward by cameraSpeed along dir, then rotated
+    assert abs(r.settings.camera.pos[2] - (4.0 - 0.5 * abs(
+        np.float32(s.camera.dir[2])))) < 0.6
+    assert r.settings.camera.camera_rotation[0] != 0.0
+    # state file written by `save`
+    from fluctus_tpu import state_io
+    assert os.path.exists(state_io.state_path(str(tmp_path / "data"),
+                                              r.scene.hash))
