@@ -15,6 +15,9 @@ Commands:
   fov <deg>          vertical field of view
   spp <n>            segments rendered per preview refresh
   save | load        render state to/from data/states (F2 / F1)
+  mats               list materials (index, name, type, Kd, Ns, Ni)
+  mat <i> <f> <v..>  edit material field (kd/ks/ke/kt: 3 floats;
+                     ns/ni/d: 1) and re-upload (the UI sliders + F5)
   png <path>         write the current accumulation
   q                  quit
 """
@@ -99,6 +102,27 @@ def run_interactive(renderer, out_path: str = "preview.png",
                                            renderer.scene.hash)
                 state_io.load_state(path, renderer.settings)
                 renderer.params = renderer._make_params()
+                refresh()
+            elif op == "mats":
+                for i, m in enumerate(renderer.scene.materials):
+                    print(f"  [{i}] {m.name or '<unnamed>'} type={m.type} "
+                          f"Kd={tuple(round(c, 3) for c in m.Kd)} "
+                          f"Ns={m.Ns:.3f} Ni={m.Ni:.3f}")
+            elif op == "mat":
+                i = int(cmd[1])
+                field = cmd[2].lower()
+                m = renderer.scene.materials[i]
+                if field in ("kd", "ks", "ke", "kt"):
+                    setattr(m, {"kd": "Kd", "ks": "Ks", "ke": "Ke",
+                                "kt": "Kt"}[field],
+                            (float(cmd[3]), float(cmd[4]), float(cmd[5])))
+                elif field in ("ns", "ni", "d"):
+                    setattr(m, {"ns": "Ns", "ni": "Ni", "d": "d"}[field],
+                            float(cmd[3]))
+                else:
+                    print(f"  ? unknown material field: {field}")
+                    continue
+                renderer.reload_materials()   # re-bake + retrace (F5)
                 refresh()
             elif op == "png":
                 renderer.film = renderer.wavefront_film()

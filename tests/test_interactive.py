@@ -37,3 +37,23 @@ def test_interactive_session(tmp_path):
     from fluctus_tpu import state_io
     assert os.path.exists(state_io.state_path(str(tmp_path / "data"),
                                               r.scene.hash))
+
+
+def test_interactive_material_edit(tmp_path):
+    s = Settings()
+    s.use_env_map = True
+    s.use_area_light = False
+    s.max_path_depth = 2
+    s.wf_buffer_size = 2048
+    r = Renderer(8, 8, settings=s, data_dir=str(tmp_path / "data"))
+    r.load_scene("/root/reference/assets/teapot.ply",
+                 env_map="/root/reference/assets/env_maps/night.hdr")
+    out = str(tmp_path / "p.png")
+    script = io.StringIO("spp 1\nmats\nmat 0 kd 0.9 0.1 0.1\nq\n")
+    n = run_interactive(r, out_path=out, input_stream=script, echo=False)
+    assert n == 4
+    assert r.scene.materials[0].Kd == (0.9, 0.1, 0.1)
+    # device scene re-uploaded with the edit
+    import jax.numpy as jnp
+    kd0 = float(r.device_scene.mats.Kd.x[0])
+    assert abs(kd0 - 0.9) < 1e-6
