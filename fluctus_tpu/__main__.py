@@ -41,6 +41,10 @@ def main(argv=None):
                     help="headless interactive REPL (WASD camera, state "
                     "save/load, progressive preview — the Tracer-UI "
                     "stand-in)")
+    ap.add_argument("--checkpoint", default=None, metavar="PATH",
+                    help="film checkpoint: resumed before rendering if it "
+                    "exists, written after (long-render preemption "
+                    "recovery)")
     ap.add_argument("--settings", default="settings.json")
     ap.add_argument("--benchmark", action="store_true",
                     help="run the fixed benchmark protocol")
@@ -87,6 +91,9 @@ def main(argv=None):
 
         if args.wavefront > 0:
             r.init_wavefront(args.tasks)
+            if args.checkpoint and os.path.exists(args.checkpoint):
+                if r.load_checkpoint(args.checkpoint):
+                    print(f"resumed checkpoint: {args.checkpoint}")
             t0 = time.time()
             done = 0
             frame = 0
@@ -141,6 +148,8 @@ def main(argv=None):
         r.save_image(out)
         r.save_image(os.path.splitext(out)[0] + ".hdr")
         print(f"wrote {out}")
+        if args.checkpoint:
+            print(f"checkpoint: {r.save_checkpoint(args.checkpoint)}")
         if args.save_state:
             print(f"saved state: {r.save_state()}")
     return 0

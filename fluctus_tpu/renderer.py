@@ -213,6 +213,68 @@ class Renderer:
                             self.exposure)
         return path
 
+    # -- render checkpoint/resume --------------------------------------------
+    def save_checkpoint(self, path: str):
+        """Checkpoint the ACCUMULATION (film color/weight [+ per-pixel
+        spp, denoiser features]) so a long render can resume after
+        preemption — the production-serving side of checkpoint/resume
+        (the reference only persists camera state; the film is lost on
+        exit). Keyed by scene hash + resolution for safety."""
+        film = self.wavefront_film() if getattr(self, "_wf_state", None) \
+            else self.film
+        arrs = dict(
+            scene_hash=np.asarray(self.scene.hash),
+            width=np.int32(self.width), height=np.int32(self.height),
+            color_x=np.asarray(film.color.x), color_y=np.asarray(film.color.y),
+            color_z=np.asarray(film.color.z), weight=np.asarray(film.weight))
+        if getattr(self, "_wf_state", None) is not None:
+            arrs["spp"] = np.asarray(self._wf_state.spp)
+        if getattr(self, "features", None) is not None:
+            f = self.features
+            arrs.update(feat_alb_x=np.asarray(f.albedo.x),
+                        feat_alb_y=np.asarray(f.albedo.y),
+                        feat_alb_z=np.asarray(f.albedo.z),
+                        feat_alb_w=np.asarray(f.albedo_w),
+                        feat_nrm_x=np.asarray(f.normal.x),
+                        feat_nrm_y=np.asarray(f.normal.y),
+                        feat_nrm_z=np.asarray(f.normal.z),
+                        feat_nrm_w=np.asarray(f.normal_w))
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez_compressed(path, **arrs)
+        return path
+
+    def load_checkpoint(self, path: str) -> bool:
+        """Restore a film checkpoint into the current accumulation (and
+        the wavefront state when one is initialized). False on
+        scene/resolution mismatch."""
+        z = np.load(path, allow_pickle=False)
+        if str(z["scene_hash"]) != self.scene.hash or \
+                int(z["width"]) != self.width or int(z["height"]) != self.height:
+            print("checkpoint mismatch (scene/resolution); ignoring")
+            return False
+        film = Film(color=Vec3(jnp.asarray(z["color_x"]),
+                               jnp.asarray(z["color_y"]),
+                               jnp.asarray(z["color_z"])),
+                    weight=jnp.asarray(z["weight"]))
+        self.film = film
+        if getattr(self, "_wf_state", None) is not None:
+            st = self._wf_state._replace(film=film)
+            if "spp" in z.files:
+                st = st._replace(spp=jnp.asarray(z["spp"]))
+            self._wf_state = st
+        if "feat_alb_x" in z.files and self.features is not None:
+            from .core.integrator_mk import FeatureFilm
+            self.features = FeatureFilm(
+                albedo=Vec3(jnp.asarray(z["feat_alb_x"]),
+                            jnp.asarray(z["feat_alb_y"]),
+                            jnp.asarray(z["feat_alb_z"])),
+                albedo_w=jnp.asarray(z["feat_alb_w"]),
+                normal=Vec3(jnp.asarray(z["feat_nrm_x"]),
+                            jnp.asarray(z["feat_nrm_y"]),
+                            jnp.asarray(z["feat_nrm_z"])),
+                normal_w=jnp.asarray(z["feat_nrm_w"]))
+        return True
+
     # -- rendering -----------------------------------------------------------
     def reset(self):
         """Accumulation reset (wf_reset analogue)."""
