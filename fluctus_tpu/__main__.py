@@ -37,6 +37,9 @@ def main(argv=None):
     ap.add_argument("--save-state", action="store_true",
                     help="save the render state (camera/light/flags) per "
                     "scene hash after rendering (F2 in the reference)")
+    ap.add_argument("-b", "--batch", action="store_true",
+                    help="batch mode (main.cpp -b; already the default on "
+                    "a headless host — accepted for parity)")
     ap.add_argument("--interactive", action="store_true",
                     help="headless interactive REPL (WASD camera, state "
                     "save/load, progressive preview — the Tracer-UI "

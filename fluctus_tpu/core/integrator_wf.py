@@ -177,6 +177,19 @@ def wf_resolve_phase(scene: DeviceScene, pool: WfPool, params: RenderParams,
                            want_shading=True, raw=raw)
 
 
+def wf_shade_phase(scene: DeviceScene, params: RenderParams, state: WfState,
+                   config: RenderConfig, raw, occluded,
+                   first_iteration: bool = False, pixel_base=None,
+                   defer_splat: bool = False):
+    """Resolve + logic in ONE program (the resolve pallas call has no
+    offload ops, so it does not contend with the logic phase's
+    gathers/scatter — and one dispatch boundary less means less operand
+    staging)."""
+    hit, sp = wf_resolve_phase(scene, state.pool, params, config, raw)
+    return wf_logic_phase(scene, params, state, config, hit, sp, occluded,
+                          first_iteration, pixel_base, defer_splat)
+
+
 def wf_logic_phase(scene: DeviceScene, params: RenderParams, state: WfState,
                    config: RenderConfig, hit, sp, occluded,
                    first_iteration: bool = False, pixel_base=None,

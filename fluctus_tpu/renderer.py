@@ -311,7 +311,8 @@ class Renderer:
         """Reset the persistent path pool (wf_reset analogue)."""
         from .core.integrator_wf import (apply_splats, wf_logic_phase,
                                          wf_reset, wf_resolve_phase,
-                                         wf_segment, wf_trace_phase)
+                                         wf_segment, wf_shade_phase,
+                                         wf_trace_phase)
         self.num_tasks = num_tasks or self.settings.wf_buffer_size
         self._wf_state = wf_reset(self.config, self.num_tasks,
                                   world_radius=self.world_radius)
@@ -330,6 +331,9 @@ class Renderer:
             self._wf_logic = jax.jit(
                 wf_logic_phase,
                 static_argnames=("config", "first_iteration", "defer_splat"))
+            self._wf_shade = jax.jit(
+                wf_shade_phase,
+                static_argnames=("config", "first_iteration", "defer_splat"))
             self._wf_apply_splats = jax.jit(apply_splats)
         self._wf_counters = []
         self._splat_segs = []
@@ -347,11 +351,18 @@ class Renderer:
         and only synchronizes at the end (the reference's finishQueue)."""
         defer = (self._wf_phased and self.config.max_spp == 0
                  and self._splat_every > 1)
+        fused_shade = os.environ.get("FLT_WF_FUSED_SHADE", "1") == "1"
         for _ in range(segments):
             if self._wf_phased:
                 raw, occ = self._wf_trace(
                     self.device_scene, self._wf_state.pool, self.params,
                     self.config)
+                if fused_shade and not defer:
+                    self._wf_state, cnt = self._wf_shade(
+                        self.device_scene, self.params, self._wf_state,
+                        self.config, raw, occ)
+                    self._wf_counters.append(cnt)
+                    continue
                 hit, sp = self._wf_resolve(
                     self.device_scene, self._wf_state.pool, self.params,
                     self.config, raw)
