@@ -57,7 +57,13 @@ def _run(jax, Renderer, Settings):
     width, height = 1920, 1080
     r = Renderer(width, height, settings=s, data_dir="data")
     r.load_scene(SCENE, env_map=ENV)
-    assert r.env_map_strength == 1.0  # state fixture applied
+    # the committed state fixture must have been found and applied — gate on
+    # its existence (env_map_strength==1.0 is also the default, so it can't
+    # detect a scene-hash drift silently rendering with default state)
+    from fluctus_tpu import state_io
+    fixture = state_io.state_path("data", r.scene.hash)
+    assert os.path.exists(fixture), \
+        f"benchmark state fixture missing for scene hash: {fixture}"
 
     mode = os.environ.get("BENCH_MODE", "wf")
     if mode == "wf":

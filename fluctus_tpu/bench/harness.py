@@ -34,6 +34,72 @@ class BenchmarkResult:
         self.csv_rows = csv_rows
 
 
+def _render_timed_wavefront(renderer: Renderer, max_time: float,
+                            max_spp: int, scene_name: str,
+                            log_interval: float = 0.5, chunk: int = 8):
+    """Wavefront render loop with periodic stat logging — the throughput
+    path the reference runs when ``useWavefront`` is set
+    (Tracer::update, tracer.cpp:250-294; honored by the benchmark loop,
+    tracer.cpp:567-873). With maxSpp set the exact-spp cap is active in
+    the config, so the loop doubles as the renderSingle protocol."""
+    import jax.numpy as jnp
+
+    renderer.init_wavefront()
+    csv_rows = []
+    t_start = time.time()
+    t_last_log = t_start
+    last_stats = (0, 0, 0, 0)
+
+    def snapshot():
+        st = renderer.wavefront_stats()
+        return (int(st.primary_rays), int(st.extension_rays),
+                int(st.shadow_rays), int(st.samples))
+
+    while True:
+        now = time.time()
+        if max_time > 0 and now - t_start >= max_time:
+            break
+        renderer.render_wavefront(chunk, sync=True)
+        if max_spp > 0 and \
+                int(jnp.min(renderer._wf_state.spp)) >= max_spp:
+            break
+        now = time.time()
+        if now - t_last_log > log_interval:
+            cur = snapshot()
+            d = [c - l for c, l in zip(cur, last_stats)]
+            s = 1e6 * (now - t_last_log)
+            csv_rows.append((scene_name, now - t_start, d[0] / s, d[1] / s,
+                             d[2] / s, (d[0] + d[1] + d[2]) / s, d[3] / s))
+            last_stats = cur
+            t_last_log = now
+
+    renderer.film = renderer.wavefront_film()
+    elapsed = time.time() - t_start
+    tot = snapshot()
+    renderer.stats = renderer.stats + renderer.wavefront_stats()
+    scale = 1e6 * max(elapsed, 1e-9)
+    npix = max(1, renderer.config.num_pixels)
+    averages = dict(
+        primary=tot[0] / scale, extension=tot[1] / scale,
+        shadow=tot[2] / scale, samples=tot[3] / scale,
+        total=(tot[0] + tot[1] + tot[2]) / scale,
+        spp=tot[3] // npix, elapsed=elapsed)
+    return averages, csv_rows
+
+
+def _render_scene_timed(renderer: Renderer, settings: Settings,
+                        max_time: float, max_spp: int, scene_name: str,
+                        log_interval: float = 0.5):
+    """Route by the reference's useWavefront setting (settings.cpp key,
+    honored in Tracer::update): wavefront = throughput path, otherwise
+    the spp-stepped renderSingle loop."""
+    if settings.use_wavefront:
+        return _render_timed_wavefront(renderer, max_time, max_spp,
+                                       scene_name, log_interval)
+    return _render_timed(renderer, max_time, max_spp, scene_name,
+                         log_interval)
+
+
 def _render_timed(renderer: Renderer, max_time: float, max_spp: int,
                   scene_name: str, log_interval: float = 0.5):
     """Render loop with periodic stat logging (tracer.cpp:676-691)."""
@@ -86,11 +152,16 @@ def run_benchmark(scenes=None, width=1024, height=1024, seconds=30.0,
         if not os.path.exists(path):
             print(f"skipping missing scene {path}")
             continue
-        r = Renderer(width, height, settings=settings or Settings())
+        s = settings or Settings()
+        r = Renderer(width, height, settings=s)
         r.load_scene(path)
-        r.render_single(spp=1)  # warmup/compile
-        r.reset()
-        averages, rows = _render_timed(r, seconds, 0, scene_file)
+        if s.use_wavefront:
+            r.init_wavefront()
+            r.render_wavefront(2)  # warmup/compile
+        else:
+            r.render_single(spp=1)  # warmup/compile
+            r.reset()
+        averages, rows = _render_scene_timed(r, s, seconds, 0, scene_file)
         print(f"{scene_file}: {averages['primary']:.1f}M primary, "
               f"{averages['extension']:.2f}M extension, "
               f"{averages['shadow']:.2f}M shadow, "
@@ -135,10 +206,15 @@ def run_benchmark_file(path: str):
             env = cand if os.path.exists(cand) else env
         r.load_scene(scene_path, env_map=env if env and os.path.exists(env)
                      else None)
-        r.render_single(spp=1)
-        r.reset()
+        if s.use_wavefront:
+            r.init_wavefront()
+            r.render_wavefront(2)
+        else:
+            r.render_single(spp=1)
+            r.reset()
 
-        averages, rows = _render_timed(r, s.max_render_time, s.max_spp, name)
+        averages, rows = _render_scene_timed(r, s, s.max_render_time,
+                                             s.max_spp, name)
         for row in rows:
             csv_lines.append(";".join(str(x) for x in row))
         line = (f"{name}: {averages['primary']:.1f}M primary, "

@@ -233,8 +233,12 @@ def wf_logic_phase(scene: DeviceScene, params: RenderParams, state: WfState,
 
     max_samples_reached = jnp.zeros(n, bool)
     if cfg.max_spp > 0:
+        # cap VALUE is dynamic (params.max_spp) so spp retargets don't
+        # recompile; cfg.max_spp doubles as gate and fallback value
+        spp_cap = jnp.where(params.max_spp > 0, params.max_spp,
+                            jnp.int32(cfg.max_spp))
         pix_spp = jnp.take(state.spp, pool.pixel_index - pixel_base)
-        max_samples_reached = pix_spp >= cfg.max_spp
+        max_samples_reached = pix_spp >= spp_cap
         terminate |= max_samples_reached
 
     terminate |= is_zero(T) | (pool.last_pdf_w == 0.0)
@@ -297,7 +301,7 @@ def wf_logic_phase(scene: DeviceScene, params: RenderParams, state: WfState,
         runstart = jax.lax.cummax(jnp.where(newrun, pos, 0))
         rank_sorted = pos - runstart
         _, rank = jax.lax.sort((slane, rank_sorted), num_keys=1)
-        splat &= rank < (cfg.max_spp - pix_spp)
+        splat &= rank < (spp_cap - pix_spp)
     seg = jnp.where(splat, pool.pixel_index - pixel_base,
                     num_pixels)  # overflow bucket
     film = state.film
@@ -328,7 +332,7 @@ def wf_logic_phase(scene: DeviceScene, params: RenderParams, state: WfState,
                 spp_counts + jax.ops.segment_sum(
                     splat.astype(jnp.int32), seg,
                     num_segments=num_pixels + 1)[:num_pixels],
-                cfg.max_spp)
+                spp_cap)
 
     # =====================================================================
     # Shading (surviving paths): normal map + NEE generation + material

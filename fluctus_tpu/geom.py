@@ -76,6 +76,10 @@ class RenderParams(NamedTuple):
     env_map_strength: jnp.ndarray
     world_radius: jnp.ndarray
     pp: PostProcessParams
+    # spp cap VALUE (dynamic, like the reference's params.maxSpp kernel
+    # arg) — the cap's presence stays a static gate (RenderConfig.max_spp
+    # > 0 = CHECK_SPP), so retargeting spp does not retrace/recompile
+    max_spp: jnp.ndarray = jnp.int32(0)
 
 
 # ---------------------------------------------------------------------------

@@ -398,26 +398,30 @@ struct SBuilder {
       Box lc, rc;
       split_reference(v, r.bmin, r.bmax, dim, pos, lc, rc);
 
-      Box lub = lbox, rub = rbox, ldb = lbox, rdb = rbox;
-      lub.add(r.bmin, r.bmax);
-      rub.add(r.bmin, r.bmax);
-      ldb.add(lc.mn, lc.mx);
-      rdb.add(rc.mn, rc.mx);
+      // Stich et al. reference unsplitting: compare keeping the whole ref
+      // on one side against duplicating the clipped halves into both.
+      Box grown_left = lbox, grown_right = rbox;
+      Box clipped_left = lbox, clipped_right = rbox;
+      grown_left.add(r.bmin, r.bmax);
+      grown_right.add(r.bmin, r.bmax);
+      clipped_left.add(lc.mn, lc.mx);
+      clipped_right.add(rc.mn, rc.mx);
 
-      double lac = (double)n_left, rac = (double)n_right;
-      double lbc = (double)(n_left + 1), rbc = (double)(n_right + 1);
-      double unsplit_left = lub.area() * lbc + rbox.area() * rac;
-      double unsplit_right = lbox.area() * lac + rub.area() * rbc;
-      double duplicate = ldb.area() * lbc + rdb.area() * rbc;
+      double cnt_l = (double)n_left, cnt_r = (double)n_right;
+      double cnt_l1 = (double)(n_left + 1), cnt_r1 = (double)(n_right + 1);
+      double unsplit_left = grown_left.area() * cnt_l1 + rbox.area() * cnt_r;
+      double unsplit_right = lbox.area() * cnt_l + grown_right.area() * cnt_r1;
+      double duplicate =
+          clipped_left.area() * cnt_l1 + clipped_right.area() * cnt_r1;
       double m = std::min(unsplit_left, std::min(unsplit_right, duplicate));
 
       if (m == unsplit_left) {
         left.push_back(r);
-        lbox = lub;
+        lbox = grown_left;
         n_left++;
       } else if (m == unsplit_right) {
         right.push_back(r);
-        rbox = rub;
+        rbox = grown_right;
         n_right++;
       } else {
         SRef lr = r, rr = r;
@@ -427,8 +431,8 @@ struct SBuilder {
         std::memcpy(rr.bmax, rc.mx, 24);
         left.push_back(lr);
         right.push_back(rr);
-        lbox = ldb;
-        rbox = rdb;
+        lbox = clipped_left;
+        rbox = clipped_right;
         n_left++;
         n_right++;
       }
@@ -449,13 +453,45 @@ struct SBuilder {
     size_t k = refs.size();
 
     auto make_leaf = [&]() {
-      nodes[node_id].nprims = (uint8_t)std::min<size_t>(k, 255);
+      nodes[node_id].nprims = (uint8_t)k;
       nodes[node_id].right_or_start = (uint32_t)indices.size();
       for (const SRef& r : refs) indices.push_back(r.ind);
     };
 
-    if (k <= 1 || depth >= kMaxDepth) {  // MIN_LEAF_ELEMS = 1
+    if (k <= 1 || (depth >= kMaxDepth && k <= 255)) {  // MIN_LEAF_ELEMS = 1
       make_leaf();
+      return node_id;
+    }
+    if (depth >= kMaxDepth) {
+      // Depth-capped node with more refs than the uint8 leaf-count field
+      // can hold (possible because spatial splits duplicate references):
+      // force an object-median split on the widest centroid axis instead
+      // of emitting a leaf whose claimed count mismatches its index slice.
+      // Each half strictly shrinks, so recursion reaches k <= 255 leaves.
+      double cmin[3] = {kInf, kInf, kInf}, cmax[3] = {-kInf, -kInf, -kInf};
+      for (const SRef& r : refs)
+        for (int c = 0; c < 3; c++) {
+          double cc = (double)r.bmin[c] + (double)r.bmax[c];
+          cmin[c] = std::min(cmin[c], cc);
+          cmax[c] = std::max(cmax[c], cc);
+        }
+      int d = 0;
+      for (int c = 1; c < 3; c++)
+        if (cmax[c] - cmin[c] > cmax[d] - cmin[d]) d = c;
+      std::sort(refs.begin(), refs.end(), [d](const SRef& a, const SRef& b) {
+        double ca = a.bmin[d] + a.bmax[d], cb = b.bmin[d] + b.bmax[d];
+        return ca < cb || (ca == cb && a.ind < b.ind);
+      });
+      size_t mid = k / 2;
+      std::vector<SRef> left(refs.begin(), refs.begin() + mid);
+      std::vector<SRef> right(refs.begin() + mid, refs.end());
+      std::vector<SRef>().swap(refs);
+      build(left, (int32_t)node_id, depth + 1);
+      std::vector<SRef>().swap(left);
+      uint32_t r = (uint32_t)nodes.size();
+      nodes[node_id].right_or_start = r;
+      nodes[node_id].nprims = 0;
+      build(right, (int32_t)node_id, depth + 1);
       return node_id;
     }
 

@@ -74,6 +74,9 @@ class Renderer:
             c = self.settings.camera
             c.pos, c.dir, c.up, c.right = co.pos, co.dir, co.up, co.right
             c.fov = co.fov
+            # keep incremental rotation (interactive `look`) anchored to the
+            # imported view instead of a stale cameraRotation
+            s._calc_camera_rotation()
 
         # per-scene render state (Tracer::init -> loadState, tracer.cpp:74,
         # 1092-1095): camera, area light, flags, exposure restored from
@@ -202,7 +205,8 @@ class Renderer:
             env_map_strength=jnp.float32(self.env_map_strength),
             world_radius=jnp.float32(self.world_radius),
             pp=PostProcessParams(exposure=jnp.float32(self.exposure),
-                                 tm_operator=jnp.int32(s.tonemap)))
+                                 tm_operator=jnp.int32(s.tonemap)),
+            max_spp=jnp.int32(s.max_spp))
 
     def save_state(self):
         """Persist camera/light/flags per scene hash (Tracer::saveState,
@@ -273,6 +277,12 @@ class Renderer:
                             jnp.asarray(z["feat_nrm_y"]),
                             jnp.asarray(z["feat_nrm_z"])),
                 normal_w=jnp.asarray(z["feat_nrm_w"]))
+            if getattr(self, "_wf_state", None) is not None and \
+                    self._wf_state.features is not None:
+                # carry restored guide buffers into the wavefront state too,
+                # else wavefront_film() overwrites them with wf_reset zeros
+                self._wf_state = self._wf_state._replace(
+                    features=self.features)
         return True
 
     # -- rendering -----------------------------------------------------------
@@ -285,10 +295,23 @@ class Renderer:
         self.stats = RenderStats.zeros()
         self.features = (FeatureFilm.zeros(n) if self.config.denoiser
                          else None)
+        self._wf_exact_state = None   # restart renderSingle accumulation
+        self._wf_exact_target = 0
 
     def render_single(self, spp: int, progress: bool = False):
         """Exact-spp batch render (Tracer::renderSingle). RR is forced off,
-        like the reference (tracer.cpp:112-121)."""
+        like the reference (tracer.cpp:112-121).
+
+        On TPU this routes to the exact-spp wavefront
+        (render_single_wavefront): the mk megastep unrolls the bounce loop
+        (gathers under lax control flow serialize on this toolchain,
+        PERF.md), so its compile time scales with max_path_depth — minutes
+        at depth 8+ — while the wavefront path compiles once and matches
+        the semantics via the CHECK_SPP cap. Set FLT_FORCE_MK=1 to force
+        the mk megastep anyway (tests / small depths)."""
+        if self.config.backend == "mxu" and \
+                os.environ.get("FLT_FORCE_MK", "0") != "1":
+            return self.render_single_wavefront(spp, accumulate=True)
         cfg = self.config.replace(use_roulette=False)
         for sample in range(spp):
             if cfg.denoiser:
@@ -430,28 +453,45 @@ class Renderer:
 
     def render_single_wavefront(self, spp: int,
                                 num_tasks: Optional[int] = None,
-                                max_segments: int = 100000):
+                                max_segments: int = 100000,
+                                accumulate: bool = False):
         """Exact-spp batch render via the wavefront path with the CHECK_SPP
         cap (wf_logic.cl:76-84): segments run until every pixel has spp
         samples. Preferred on TPU, where the unrolled per-bounce megastep
         costs minutes of compile; the reference's microkernel renderSingle
-        (tracer.cpp:108-182) semantics are matched by the cap."""
+        (tracer.cpp:108-182) semantics are matched by the cap.
+
+        The cap's PRESENCE is static (one retrace) but its VALUE is a
+        dynamic param, so different spp targets share one compiled
+        program. With ``accumulate`` the call continues the persistent
+        exact state for ``spp`` MORE samples per pixel (renderSingle's
+        progressive accumulation contract)."""
         from .core.integrator_wf import wf_reset, wf_segment
-        cfg = self.config.replace(max_spp=spp, use_roulette=False)
+        cfg = self.config.replace(max_spp=1, use_roulette=False)
         n_tasks = num_tasks or self.settings.wf_buffer_size
-        state = wf_reset(cfg, n_tasks, world_radius=self.world_radius)
-        step = jax.jit(wf_segment, static_argnames=("config",
-                                                    "first_iteration"))
+        state = getattr(self, "_wf_exact_state", None)
+        if not accumulate or state is None or \
+                state.pool.seed.shape[0] != n_tasks:
+            state = wf_reset(cfg, n_tasks, world_radius=self.world_radius)
+            self._wf_exact_target = 0
+        target = self._wf_exact_target + spp
+        params = self.params._replace(max_spp=jnp.int32(target))
+        if not hasattr(self, "_wf_exact_step"):
+            self._wf_exact_step = jax.jit(
+                wf_segment, static_argnames=("config", "first_iteration"))
+        step = self._wf_exact_step
         done = 0
         counters = []
         while done < max_segments:
             for _ in range(16):
-                state, c = step(self.device_scene, self.params, state, cfg)
+                state, c = step(self.device_scene, params, state, cfg)
                 counters.append(c)
                 done += 1
-            if int(jnp.min(state.spp)) >= spp:
+            if int(jnp.min(state.spp)) >= target:
                 break
         self.film = state.film
+        self._wf_exact_state = state
+        self._wf_exact_target = target
         self._wf_state = state
         self._wf_counters = counters
         if state.features is not None:

@@ -69,6 +69,35 @@ def test_bm_json_harness(tmp_path, assets):
     assert (out / "results.txt").read_text().strip()
 
 
+def test_bm_json_harness_wavefront(tmp_path, assets):
+    """useWavefront routes the harness to the throughput integrator
+    (Tracer::update path) with the exact-spp cap active — the same
+    .bm.json measures the flagship path (tracer.cpp:567-873)."""
+    from fluctus_tpu.bench import run_benchmark_file
+    spec = {
+        "settings": {
+            "windowWidth": 32, "windowHeight": 32,
+            "maxSpp": 2, "maxPathDepth": 2,
+            "useWavefront": True, "wfBufferSize": 256,
+            "useEnvMap": True,
+            "envMap": "/root/reference/assets/env_maps/night.hdr",
+        },
+        "scenes": [{"file": "/root/reference/assets/teapot.ply"}],
+        "outputFolder": "out",
+    }
+    p = tmp_path / "test.bm.json"
+    p.write_text(json.dumps(spec))
+    results = run_benchmark_file(str(p))
+    assert len(results) == 1
+    av = results[0].averages
+    assert av["spp"] == 2            # exact cap reached on every pixel
+    assert av["extension"] > 0       # wavefront counters flowed through
+    out = tmp_path / "out"
+    assert (out / "teapot.png").exists()
+    csv = (out / "results.csv").read_text().splitlines()
+    assert csv[0] == "scene;time;primary;extension;shadow;total;samples"
+
+
 def test_state_reference_byte_layout(tmp_path):
     """Independently hand-encode a state file following the reference's
     iterateStateItems field list (tracer.cpp:1007-1046: floats/cl_uints,
