@@ -54,6 +54,13 @@ from .bvh import BVHArrays
 F32_MAX = np.float32(3.4028235e38)
 HIGHEST = jax.lax.Precision.HIGHEST
 
+import os as _os_env
+# supercluster granularity (member clusters per super, build-time) and the
+# cluster count above which the two-level kernel takes over (dispatch-time):
+# below it the flat candidate list is cheaper
+SC_CLUSTERS = int(_os_env.environ.get("FLT_SC_CLUSTERS", "64"))
+SC_THRESHOLD = int(_os_env.environ.get("FLT_SC_THRESHOLD", "96"))
+
 # attrs column layout (keep in sync with resolve consumers in core/trace.py)
 ATTR_N = 0        # nx, ny, nz
 ATTR_UV = 3       # tu, tv
@@ -192,6 +199,31 @@ def _build_attr_b16(a, txy_t):
 # Cluster construction (host)
 # ---------------------------------------------------------------------------
 
+def _cut_supers(bvh: BVHArrays, counts, cluster_lo, super_size: int):
+    """Cut the BVH at ``super_size`` refs to form SUPERCLUSTERS — the
+    coarse tier over clusters (the analogue of the upper levels of the
+    reference's traversal stack, bvh.cl:234-373, which this design cut
+    away at cluster granularity). Both cuts come from the same DFS, so
+    every supercluster's member clusters are one CONTIGUOUS range of
+    cluster ids; returns [n_sc, 3] int64 rows (c0, count, node) plus the
+    node boxes. counts/cluster_lo come from _cut_clusters."""
+    n_prims = bvh.n_prims.astype(np.int64)
+    leaf = n_prims > 0
+    parent = bvh.parent.astype(np.int64)
+    cut_ok = counts <= super_size
+    pbig = np.where(parent >= 0, ~cut_ok[np.maximum(parent, 0)], True)
+    cut = np.nonzero(cut_ok & pbig)[0]
+
+    right = bvh.right_or_start.astype(np.int64)
+    leaf_start = np.where(leaf, right, np.iinfo(np.int64).max)
+    lo_all = np.minimum.accumulate(leaf_start[::-1])[::-1]
+    lo = lo_all[cut]
+    # member clusters: clusters whose slice starts within the super slice
+    c0 = np.searchsorted(cluster_lo, lo, side="left")
+    c1 = np.append(c0[1:], len(cluster_lo))
+    return cut, c0, c1
+
+
 def _cut_clusters(bvh: BVHArrays, cluster_size: int):
     """Cut the BVH into subtrees holding <= cluster_size triangle refs.
     Returns list of (index_list_slice, bmin, bmax).
@@ -237,9 +269,9 @@ def _cut_clusters(bvh: BVHArrays, cluster_size: int):
     good = (lo[0] == 0 and (hi >= lo).all()
             and (hi - lo == counts[cut]).all())
     if not good:  # foreign cache with non-DFS leaf order
-        return _cut_clusters_walk(bvh, cluster_size, counts)
-    return [(bvh.indices[lo[j]:hi[j]], bvh.box_min[i], bvh.box_max[i])
-            for j, i in enumerate(cut)]
+        return _cut_clusters_walk(bvh, cluster_size, counts), None, None
+    return ([(bvh.indices[lo[j]:hi[j]], bvh.box_min[i], bvh.box_max[i])
+             for j, i in enumerate(cut)], counts, lo)
 
 
 def _cut_clusters_walk(bvh: BVHArrays, cluster_size: int, counts):
@@ -301,9 +333,16 @@ class MXUScene:
     # bf16 resolve table [Mpad, 128] (B16 layout) — one single-pass MXU
     # one-hot product fetches transforms + all shading attributes
     attr_b16: Optional[jnp.ndarray] = None
+    # SUPERCLUSTER tier [n_sc, 8]: bmin3 bmax3 (centered) + first member
+    # cluster id + member count (both f32-exact) — the coarse level that
+    # keeps candidate-list generation O(n_sc) per tile instead of
+    # O(n_clusters) (vacuous at conference scale, ~1.9k clusters)
+    sc_box: Optional[jnp.ndarray] = None
     # static
     n_clusters: int = dataclasses.field(metadata=dict(static=True), default=1)
     cluster_size: int = dataclasses.field(metadata=dict(static=True), default=256)
+    n_superclusters: int = dataclasses.field(metadata=dict(static=True),
+                                             default=0)
     # whether attrs carry baked atlas descriptors (ATTR_T*_WH/OFF columns)
     has_tex_meta: bool = dataclasses.field(metadata=dict(static=True),
                                            default=False)
@@ -313,20 +352,40 @@ class MXUScene:
               cluster_size: int = 256, normals: Optional[np.ndarray] = None,
               uvs: Optional[np.ndarray] = None,
               mat_ids: Optional[np.ndarray] = None,
-              materials=None, atlas=None) -> "MXUScene":
+              materials=None, atlas=None, slim: bool = False) -> "MXUScene":
         """positions: [M,3,3] world-space triangle vertices. materials:
         optional list of HostMaterial — baked per-triangle into attrs.
         atlas: optional TextureAtlas whose per-texture w/h/offset descriptors
-        are baked per-triangle (texture metadata then costs zero gathers)."""
+        are baked per-triangle (texture metadata then costs zero gathers).
+        slim: skip the f32 attrs table (resolve v2/v1 fallback input,
+        ~0.5 KB/tri) — the bf16 B16 table serves the production resolve;
+        used for large scenes where attrs would cost 100s of MB."""
         p = np.asarray(positions, np.float64)
         lo = p.reshape(-1, 3).min(0)
         hi = p.reshape(-1, 3).max(0)
         center = (lo + hi) * 0.5
         p = p - center  # center for f32 precision in the affine transform
 
-        clusters = _cut_clusters(bvh, cluster_size)
+        clusters, counts, cluster_lo = _cut_clusters(bvh, cluster_size)
         n_clusters = len(clusters)
         m_pad = n_clusters * cluster_size
+
+        # supercluster tier (coarse cut at SC_CLUSTERS member clusters)
+        sc_box = None
+        n_sc = 0
+        if counts is not None and n_clusters > 1:
+            sc_size = SC_CLUSTERS * cluster_size
+            sc_nodes, sc_c0, sc_c1 = _cut_supers(bvh, counts, cluster_lo,
+                                                 sc_size)
+            n_sc = len(sc_nodes)
+            sb = np.zeros((n_sc, 8), np.float32)
+            sb[:, 0:3] = bvh.box_min[sc_nodes] - center
+            sb[:, 3:6] = bvh.box_max[sc_nodes] - center
+            sb[:, 6] = sc_c0.astype(np.float32)
+            sb[:, 7] = (sc_c1 - sc_c0).astype(np.float32)
+            assert sc_c0[0] == 0 and (sc_c1[-1:] == n_clusters).all() \
+                and (sc_c1 - sc_c0 >= 1).all(), "super/cluster cut mismatch"
+            sc_box = sb
 
         tri_map = np.full(m_pad, -1, np.int32)
         boxes = np.zeros((n_clusters, 8), np.float32)
@@ -389,9 +448,11 @@ class MXUScene:
                     a[:, :, ATTR_MAP_KS] = col(lambda m: m.map_Ks)[:, None]
                     a[:, :, ATTR_MAP_N] = col(lambda m: m.map_N)[:, None]
                     if atlas is not None and getattr(atlas, "count", 0) > 0:
-                        tw = np.asarray(atlas.width)
-                        th = np.asarray(atlas.height)
-                        toff = np.asarray(atlas.offset)
+                        # host-side descriptor tuples — reading the device
+                        # arrays back here costs a multi-second tunnel sync
+                        tw = np.array(atlas.width_t, np.int32)
+                        th = np.array(atlas.height_t, np.int32)
+                        toff = np.array(atlas.offset_t, np.int32)
                         assert tw.max() < 4096 and th.max() < 4096, \
                             "texture dims must fit the wh-pack (w,h < 4096)"
                         assert toff.max() < (1 << 24), \
@@ -416,10 +477,13 @@ class MXUScene:
             # one-hot [RT, 3*TC] lines up: rows [0..TC) = v0 of each tri,
             # [TC..2TC) = v1, [2TC..3TC) = v2
             a_tri = a                      # [Mpad, 3, ATTR_COLS] layout
-            a = a.reshape(n_clusters, cluster_size, 3, ATTR_COLS)
-            a = a.transpose(0, 2, 1, 3).reshape(
-                n_clusters * 3 * cluster_size, ATTR_COLS)
-            attrs = jnp.asarray(a)
+            if slim:
+                attrs = True   # sentinel: b16 table still built below
+            else:
+                a = a.reshape(n_clusters, cluster_size, 3, ATTR_COLS)
+                a = a.transpose(0, 2, 1, 3).reshape(
+                    n_clusters * 3 * cluster_size, ATTR_COLS)
+                attrs = jnp.asarray(a)
 
         txy_t = np.concatenate([t4[:, :, 0], t4[:, :, 1], t4[:, :, 2]],
                                axis=1).astype(np.float32)  # [Mpad, 12]
@@ -439,10 +503,14 @@ class MXUScene:
 
         attr_b16 = None
         if attrs is not None:
-            # `a` still holds the pre-reshape [Mpad, 3, ATTR_COLS] layout
+            # `a_tri` holds the pre-reshape [Mpad, 3, ATTR_COLS] layout
             attr_b16 = jnp.asarray(_build_attr_b16(a_tri, txy_t))
+        if attrs is True:
+            attrs = None   # slim: B16 only
 
         return MXUScene(
+            sc_box=(jnp.asarray(sc_box) if sc_box is not None else None),
+            n_superclusters=n_sc,
             sub_box=sub_box,
             attr_b16=attr_b16,
             attrs=attrs,
@@ -664,6 +732,176 @@ def _trace_kernel_rol(o_ref, tm_ref, ord_ref, cons_ref, t12_ref, box_ref,
     stop0 = (ord_ref[0, 0, 0] < 0) | (cons_ref[0, 0, 0] > t_worst0) \
         | (t_worst0 <= 0.0)
     jax.lax.while_loop(cond, body, (jnp.int32(0), stop0))
+
+
+def _trace_kernel_rol_sc(o_ref, tm_ref, ord_ref, cons_ref, t12_ref, box_ref,
+                         scb_ref, t_ref, i_ref, *, rt, tc, n_sc, any_hit):
+    """Two-level rays-on-lanes kernel: the tile's candidate list holds
+    SUPERCLUSTERS (coarse BVH cut, ~SC_CLUSTERS clusters each); a live
+    candidate's member clusters are then swept with per-cluster [1, rt]
+    slab culls before any pair math. This keeps the per-tile candidate
+    generation and its front-to-back sort O(n_superclusters) — at
+    conference scale (~1.9k clusters) a flat cluster-granular list would
+    spend more on the [ncl, rt] cull + [nt, ncl] sort than on the trace
+    itself. The fine level re-creates the reference stack traversal's
+    middle levels (bvh.cl:234-373) tile-granular."""
+    O = o_ref[0]                      # [8, rt]: ox oy oz 1 dx dy dz 0
+    o0, o1, o2 = O[0:1], O[1:2], O[2:3]
+    d0, d1, d2 = O[4:5], O[5:6], O[6:7]
+    eps = 1e-30
+    i0 = 1.0 / jnp.where(d0 == 0.0, eps, d0)
+    i1 = 1.0 / jnp.where(d1 == 0.0, eps, d1)
+    i2 = 1.0 / jnp.where(d2 == 0.0, eps, d2)
+    tm = tm_ref[0]                    # [1, rt]
+    t_ref[0] = tm
+    i_ref[0] = jnp.full((1, rt), -1, jnp.int32)
+    rowbits = tc - 1
+
+    def slab6(b0, b1, b2, b3, b4, b5, t_best):
+        ax = (b0 - o0) * i0
+        bx = (b3 - o0) * i0
+        ay = (b1 - o1) * i1
+        by = (b4 - o1) * i1
+        az = (b2 - o2) * i2
+        bz = (b5 - o2) * i2
+        tnear = jnp.maximum(jnp.maximum(jnp.minimum(ax, bx),
+                                        jnp.minimum(ay, by)),
+                            jnp.minimum(az, bz))
+        tfar = jnp.minimum(jnp.minimum(jnp.maximum(ax, bx),
+                                       jnp.maximum(ay, by)),
+                           jnp.maximum(az, bz))
+        hit = (tfar >= 0.0) & (tnear <= tfar) & (tnear < t_best)
+        if any_hit:
+            hit = hit & (i_ref[0] < 0)
+        return hit
+
+    def cond(carry):
+        slot, stop = carry
+        return (slot < n_sc) & ~stop
+
+    def body(carry):
+        slot, _ = carry
+        s = ord_ref[0, slot, 0]
+        srow = scb_ref[jnp.maximum(s, 0), :]
+        live_sc = jnp.any(slab6(srow[0], srow[1], srow[2], srow[3], srow[4],
+                                srow[5], t_ref[0])) & (s >= 0)
+
+        @pl.when(live_sc)
+        def _():
+            c0 = srow[6].astype(jnp.int32)
+            cnt = srow[7].astype(jnp.int32)
+
+            def inner(k, _):
+                c = c0 + k
+                t_best = t_ref[0]
+                box = box_ref[c, :]
+                live = jnp.any(slab6(box[0], box[1], box[2], box[3], box[4],
+                                     box[5], t_best)) & (jnp.max(t_best) > 0.0)
+
+                @pl.when(live)
+                def _():
+                    off = pl.multiple_of(c * tc, 128)
+                    TT = t12_ref[:, pl.ds(off, tc)].T        # [tc, 12]
+                    oz = o0 * TT[:, 8:9] + o1 * TT[:, 9:10] \
+                        + o2 * TT[:, 10:11] + TT[:, 11:12]
+                    dz = d0 * TT[:, 8:9] + d1 * TT[:, 9:10] + d2 * TT[:, 10:11]
+                    t = -oz / jnp.where(dz == 0.0, 1.0, dz)
+                    ox = o0 * TT[:, 0:1] + o1 * TT[:, 1:2] + o2 * TT[:, 2:3] \
+                        + TT[:, 3:4]
+                    dx = d0 * TT[:, 0:1] + d1 * TT[:, 1:2] + d2 * TT[:, 2:3]
+                    u = ox + t * dx
+                    oy = o0 * TT[:, 4:5] + o1 * TT[:, 5:6] + o2 * TT[:, 6:7] \
+                        + TT[:, 7:8]
+                    dy = d0 * TT[:, 4:5] + d1 * TT[:, 5:6] + d2 * TT[:, 6:7]
+                    v = oy + t * dy
+                    valid = (dz != 0.0) & (t > 0.0) & \
+                        (jnp.minimum(jnp.minimum(u, v), 1.0 - u - v) >= 0.0)
+                    if any_hit:
+                        tcand = jnp.where(valid, t, F32_MAX)
+                        tmin = jnp.min(tcand, axis=0, keepdims=True)
+                        blocked = tmin < t_best
+                        i_ref[0] = jnp.where(blocked, 1, i_ref[0])
+                        t_ref[0] = jnp.where(blocked, 0.0, t_ref[0])
+                    else:
+                        row = jax.lax.broadcasted_iota(jnp.int32, (tc, rt), 0)
+                        key = (pltpu.bitcast(t, jnp.int32) & ~rowbits) | row
+                        key = jnp.where(valid, key, jnp.int32(0x7F800000))
+                        kmin = jnp.min(key, axis=0, keepdims=True)
+                        tmin = pltpu.bitcast(kmin & ~rowbits, jnp.float32)
+                        better = tmin < t_best
+                        t_ref[0] = jnp.where(better, tmin, t_ref[0])
+                        i_ref[0] = jnp.where(better, (kmin & rowbits) + c * tc,
+                                             i_ref[0])
+                return 0
+
+            jax.lax.fori_loop(0, cnt, inner, 0)
+
+        nxt = slot + 1
+        guard = jnp.minimum(nxt, n_sc - 1)
+        t_worst = jnp.max(t_ref[0])
+        stop = (ord_ref[0, guard, 0] < 0) | (cons_ref[0, guard, 0] > t_worst) \
+            | (t_worst <= 0.0)
+        return nxt, stop
+
+    t_worst0 = jnp.max(tm)
+    stop0 = (ord_ref[0, 0, 0] < 0) | (cons_ref[0, 0, 0] > t_worst0) \
+        | (t_worst0 <= 0.0)
+    jax.lax.while_loop(cond, body, (jnp.int32(0), stop0))
+
+
+@partial(jax.jit, static_argnames=("scene_static", "any_hit", "ray_tile",
+                                   "interpret"))
+def _trace_rol_sc(o4, d4, tmax_col, t12, boxes, sc_boxes, scene_static,
+                  any_hit, ray_tile, interpret):
+    """Two-level (supercluster) rays-on-lanes dispatch. Candidate lists
+    are generated and sorted at SUPERCLUSTER granularity."""
+    n_sc, tc = scene_static
+    rt = ray_tile
+    b = o4.shape[0]
+    nt = b // rt
+
+    order, cons = _tile_order_dispatch(o4, d4, tmax_col, sc_boxes, rt,
+                                       interpret)
+    nsc_pad = order.shape[1]
+
+    rays = jnp.stack([o4[:, 0], o4[:, 1], o4[:, 2], o4[:, 3],
+                      d4[:, 0], d4[:, 1], d4[:, 2], d4[:, 3]], axis=0)
+    rays = rays.reshape(8, nt, rt).transpose(1, 0, 2)     # [nt, 8, rt]
+    tm = tmax_col.reshape(nt, 1, rt)
+
+    kernel = partial(_trace_kernel_rol_sc, rt=rt, tc=tc,
+                     n_sc=nsc_pad, any_hit=any_hit)
+    t, i = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, 8, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nsc_pad, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nsc_pad, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # t12 resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cluster boxes
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # supercluster rows
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, 1, rt), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 1, rt), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(t12.size * 4 + (32 << 20), 127 << 20)),
+        interpret=interpret,
+    )(rays, tm, order, cons, t12, boxes, sc_boxes)
+    return t.reshape(b, 1), i.reshape(b, 1)
 
 
 SUB = 128     # sub-block granularity (lane slices must stay 128-aligned)
@@ -1258,7 +1496,15 @@ RESOLVE_V = _os.environ.get("FLT_RESOLVE_V", "3")
 
 
 def _dispatch_trace(o4, d4, tmax_col, scene, any_hit, ray_tile, interpret):
-    """Select the trace kernel: rays-on-lanes (ROL) or rays-on-sublanes."""
+    """Select the trace kernel: two-level supercluster (large scenes),
+    rays-on-lanes (ROL) or rays-on-sublanes."""
+    sc_threshold = int(_os.environ.get("FLT_SC_THRESHOLD", str(SC_THRESHOLD)))
+    if ROL and scene.sc_box is not None and scene.t12 is not None \
+            and scene.n_clusters > sc_threshold and not interpret:
+        return _trace_rol_sc(o4, d4, tmax_col, scene.t12, scene.cluster_box,
+                             scene.sc_box,
+                             (scene.n_superclusters, scene.cluster_size),
+                             any_hit, ROL_TILE, interpret)
     if ROL and scene.sub_box is not None and not interpret and ROL_V == "3":
         return _trace_rol3(o4, d4, tmax_col, scene.t12, scene.cluster_box,
                            scene.sub_box,
@@ -1712,49 +1958,53 @@ def _resolve_kernel_v3(col_ref, o_ref, d_ref, tbl_ref, out_ref, acc_ref,
         return c
 
     jax.lax.while_loop(cond, body, jnp.int32(-1))
+    out_ref[:] = _b16_epilogue(acc_ref[:], col, O, D, rt)
 
-    if True:
-        if True:
-            row = acc_ref[:]
-            active = col >= 0
-            g = lambda a, w: row[:, a:a + w]
-            txy = g(B16.TXY_HI, 12) + g(B16.TXY_LO, 12)
-            oz = jnp.sum(O * txy[:, 8:12], axis=1, keepdims=True)
-            dz = jnp.sum(D * txy[:, 8:12], axis=1, keepdims=True)
-            t = -oz / jnp.where(dz == 0.0, 1.0, dz)
-            ox = jnp.sum(O * txy[:, 0:4], axis=1, keepdims=True)
-            dx = jnp.sum(D * txy[:, 0:4], axis=1, keepdims=True)
-            oy = jnp.sum(O * txy[:, 4:8], axis=1, keepdims=True)
-            dy = jnp.sum(D * txy[:, 4:8], axis=1, keepdims=True)
-            u = ox + t * dx
-            v = oy + t * dy
 
-            cf = g(B16.CF_HI, 15) + g(B16.CF_LO, 15)
-            v0 = g(B16.V0_HI, 5) + g(B16.V0_LO, 5)
-            v1 = g(B16.V1_HI, 5) + g(B16.V1_LO, 5)
-            v2 = g(B16.V2_HI, 5) + g(B16.V2_LO, 5)
-            vert = (1.0 - u - v) * v0 + u * v1 + v * v2   # [rt, 5] N3+UV2
+def _b16_epilogue(row, col, O, D, rt):
+    """Reconstruct the f32 ATTR row from the accumulated B16 fetch: hi+lo
+    float sums, 8-bit chunk recombination, exact t/u/v from the winner
+    transform, barycentric interpolation of the per-vertex floats. Runs
+    ONCE per tile (deferred out of the per-cluster loop)."""
+    active = col >= 0
+    g = lambda a, w: row[:, a:a + w]
+    txy = g(B16.TXY_HI, 12) + g(B16.TXY_LO, 12)
+    oz = jnp.sum(O * txy[:, 8:12], axis=1, keepdims=True)
+    dz = jnp.sum(D * txy[:, 8:12], axis=1, keepdims=True)
+    t = -oz / jnp.where(dz == 0.0, 1.0, dz)
+    ox = jnp.sum(O * txy[:, 0:4], axis=1, keepdims=True)
+    dx = jnp.sum(D * txy[:, 0:4], axis=1, keepdims=True)
+    oy = jnp.sum(O * txy[:, 4:8], axis=1, keepdims=True)
+    dy = jnp.sum(D * txy[:, 4:8], axis=1, keepdims=True)
+    u = ox + t * dx
+    v = oy + t * dy
 
-            c2 = lambda a: row[:, a:a + 1] + row[:, a + 1:a + 2] * 256.0
-            c3 = lambda a: c2(a) + row[:, a + 2:a + 3] * 65536.0
-            am = active.astype(jnp.float32)
-            wh = lambda cw, chh: c2(cw) * 4096.0 + c2(chh)
-            res = jnp.concatenate([
-                vert,                                     # 0-4: N, UV
-                c2(B16.MAT),                              # 5
-                cf,                                       # 6-20
-                c2(B16.TYPE),                             # 21
-                c2(B16.MAP_KD) - am,                      # 22 (stored +1)
-                c2(B16.MAP_KS) - am,                      # 23
-                c2(B16.MAP_N) - am,                       # 24
-                c3(B16.TRI),                              # 25
-                u * am, v * am, t * am,                   # 26-28
-                wh(B16.TKD_W, B16.TKD_H), c3(B16.TKD_OFF),  # 29-30
-                wh(B16.TKS_W, B16.TKS_H), c3(B16.TKS_OFF),  # 31-32
-                wh(B16.TN_W, B16.TN_H), c3(B16.TN_OFF),     # 33-34
-                jnp.zeros((rt, ATTR_COLS - 35), jnp.float32),
-            ], axis=1)
-            out_ref[:] = res * am
+    cf = g(B16.CF_HI, 15) + g(B16.CF_LO, 15)
+    v0 = g(B16.V0_HI, 5) + g(B16.V0_LO, 5)
+    v1 = g(B16.V1_HI, 5) + g(B16.V1_LO, 5)
+    v2 = g(B16.V2_HI, 5) + g(B16.V2_LO, 5)
+    vert = (1.0 - u - v) * v0 + u * v1 + v * v2   # [rt, 5] N3+UV2
+
+    c2 = lambda a: row[:, a:a + 1] + row[:, a + 1:a + 2] * 256.0
+    c3 = lambda a: c2(a) + row[:, a + 2:a + 3] * 65536.0
+    am = active.astype(jnp.float32)
+    wh = lambda cw, chh: c2(cw) * 4096.0 + c2(chh)
+    res = jnp.concatenate([
+        vert,                                     # 0-4: N, UV
+        c2(B16.MAT),                              # 5
+        cf,                                       # 6-20
+        c2(B16.TYPE),                             # 21
+        c2(B16.MAP_KD) - am,                      # 22 (stored +1)
+        c2(B16.MAP_KS) - am,                      # 23
+        c2(B16.MAP_N) - am,                       # 24
+        c3(B16.TRI),                              # 25
+        u * am, v * am, t * am,                   # 26-28
+        wh(B16.TKD_W, B16.TKD_H), c3(B16.TKD_OFF),  # 29-30
+        wh(B16.TKS_W, B16.TKS_H), c3(B16.TKS_OFF),  # 31-32
+        wh(B16.TN_W, B16.TN_H), c3(B16.TN_OFF),     # 33-34
+        jnp.zeros((rt, ATTR_COLS - 35), jnp.float32),
+    ], axis=1)
+    return res * am
 
 
 @partial(jax.jit, static_argnames=("scene_static", "ray_tile", "interpret"))
@@ -1782,6 +2032,97 @@ def _resolve_v3(col, o4, d4, tbl, scene_static, ray_tile, interpret):
     )(col, o4, d4, tbl)
 
 
+def _resolve_kernel_v4(col_ref, o_ref, d_ref, tbl_ref, out_ref, acc_ref,
+                       buf_ref, sem_ref, *, rt, tc):
+    """Winner-attribute resolve, v4: the B16 table stays in HBM; each
+    winner cluster's [tc, 128] bf16 block (64 KB) is DMA'd into a
+    double-buffered VMEM scratch while the previous block's one-hot
+    product runs. Removes the resolve path's VMEM ceiling entirely —
+    at conference scale (320k tris) the table is ~120 MB and streaming
+    ~5 winner blocks per tile costs ~0.3 MB of traffic instead.
+    Winner discovery is the same in-kernel ascending min-scan as v3."""
+    acc_ref[:] = jnp.zeros((rt, B16.COLS), jnp.float32)
+    col = col_ref[:]                      # [rt,1] padded winner column
+    O = o_ref[:]
+    D = d_ref[:]
+    ccl = jnp.where(col >= 0, col // tc, jnp.int32(0x7FFFFFFF))
+    NONE = jnp.int32(0x7FFFFFFF)
+
+    def next_cluster(prev):
+        return jnp.min(jnp.where(ccl > prev, ccl, NONE))
+
+    def start_dma(c, slot):
+        dma = pltpu.make_async_copy(
+            tbl_ref.at[pl.ds(c * tc, tc), :],
+            buf_ref.at[slot], sem_ref.at[slot])
+        dma.start()
+
+    def wait_dma(c, slot):
+        pltpu.make_async_copy(
+            tbl_ref.at[pl.ds(c * tc, tc), :],
+            buf_ref.at[slot], sem_ref.at[slot]).wait()
+
+    c0 = next_cluster(jnp.int32(-1))
+
+    @pl.when(c0 < NONE)
+    def _():
+        start_dma(c0, 0)
+
+        def cond(carry):
+            c, slot = carry
+            return c < NONE
+
+        def body(carry):
+            c, slot = carry
+            nxt = next_cluster(c)
+
+            @pl.when(nxt < NONE)
+            def _():
+                start_dma(nxt, 1 - slot)    # prefetch while we compute
+            wait_dma(c, slot)
+            local = col - c * tc
+            active = (local >= 0) & (local < tc)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (rt, tc), 1)
+            onehot = ((lane == local) & active).astype(jnp.bfloat16)
+            acc_ref[:] = acc_ref[:] + jnp.dot(
+                onehot, buf_ref[slot],
+                preferred_element_type=jnp.float32)       # [rt, 128]
+            return nxt, 1 - slot
+
+        jax.lax.while_loop(cond, body, (c0, jnp.int32(0)))
+
+    out_ref[:] = _b16_epilogue(acc_ref[:], col, O, D, rt)
+
+
+@partial(jax.jit, static_argnames=("scene_static", "ray_tile", "interpret"))
+def _resolve_v4(col, o4, d4, tbl, scene_static, ray_tile, interpret):
+    n_clusters, tc = scene_static
+    rt = ray_tile
+    b = col.shape[0]
+    kernel = partial(_resolve_kernel_v4, rt=rt, tc=tc)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // rt,),
+        in_specs=[
+            pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),    # bf16 table in HBM
+        ],
+        out_specs=pl.BlockSpec((rt, ATTR_COLS), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, ATTR_COLS), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rt, B16.COLS), jnp.float32),
+            pltpu.VMEM((2, tc, B16.COLS), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 << 20),
+        interpret=interpret,
+    )(col, o4, d4, tbl)
+
+
 # resident-table resolve needs txy+attrs in VMEM (~128 MB/chip); beyond
 # this the grid-sweep kernel streams blocks from HBM instead
 _RESOLVE_V2_VMEM_BYTES = 48 * (1 << 20)
@@ -1796,12 +2137,22 @@ def resolve_hits_mxu(orig: Vec3, d: Vec3, t, col, scene: MXUScene,
     n = col.shape[0]
     o4, d4, _ = _ray_inputs(orig, d, scene, None, ray_tile)
     col2, _ = _pad_rays(col.reshape(n, 1), ray_tile)
-    if not interpret and scene.attr_b16 is not None and RESOLVE_V == "3" \
-            and scene.attr_b16.size * 2 <= _RESOLVE_V2_VMEM_BYTES:
-        out = _resolve_v3(col2, o4, d4, scene.attr_b16,
-                          (scene.n_clusters, scene.cluster_size), ray_tile,
-                          interpret)
+    resolve_v = _os.environ.get("FLT_RESOLVE_V", RESOLVE_V)
+    if not interpret and scene.attr_b16 is not None and resolve_v in ("3",
+                                                                      "4"):
+        if resolve_v == "3" and \
+                scene.attr_b16.size * 2 <= _RESOLVE_V2_VMEM_BYTES:
+            out = _resolve_v3(col2, o4, d4, scene.attr_b16,
+                              (scene.n_clusters, scene.cluster_size),
+                              ray_tile, interpret)
+        else:
+            # table exceeds the resident budget -> HBM-streamed variant
+            out = _resolve_v4(col2, o4, d4, scene.attr_b16,
+                              (scene.n_clusters, scene.cluster_size),
+                              ray_tile, interpret)
         return out[:n]
+    assert scene.attrs is not None, \
+        "slim MXUScene requires the B16 resolve path (FLT_RESOLVE_V=3)"
     table_bytes = (scene.attrs.size + scene.txy_t.size) * 4
     if not interpret and table_bytes <= _RESOLVE_V2_VMEM_BYTES:
         out = _resolve_v2(col2, o4, d4, scene.txy_t, scene.attrs,

@@ -113,7 +113,11 @@ class Renderer:
             p, nrm, uv, mid = scene.triangle_arrays()
             mxu = MXUScene.build(p, bvh, normals=nrm, uvs=uv, mat_ids=mid,
                                  materials=scene.materials,
-                                 atlas=scene.device_textures())
+                                 atlas=scene.device_textures(),
+                                 # past ~64k tris the f32 attrs fallback
+                                 # table is dead weight (B16 serves the
+                                 # resolve; streamed from HBM at scale)
+                                 slim=(len(p) > 65536))
 
         self.device_scene = DeviceScene(
             tris=TrianglesDevice.from_arrays(*scene.triangle_arrays()),

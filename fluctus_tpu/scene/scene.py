@@ -129,10 +129,16 @@ class Scene:
             self.hash = file_hash(filename)
 
     def load_scene_file(self, filename: str):
-        """Multi-model scene file (scene.cpp:864-897)."""
+        """Multi-model scene file (scene.cpp:864-897). Repeated entries of
+        the same model file are INSTANCED: parsed once, then re-appended
+        with the entry's transform re-applied (ModelTransform is uniform
+        scale + translation, so the first instance's chunks are exactly
+        retransformable) and the materials/textures shared — a 20-instance
+        composition costs one parse instead of twenty."""
         folder = os.path.dirname(filename)
         with open(filename) as f:
             scene_list = json.load(f)
+        seen = {}   # path -> (chunk range, first instance's transform)
         for info in scene_list:
             tr = ModelTransform()
             if "scale" in info:
@@ -141,7 +147,17 @@ class Scene:
                 tr.translation = tuple(info["translation"])
             sub = info["file"]
             path = sub if os.path.isabs(sub) else os.path.join(folder, sub)
-            self.load_model(path, tr)
+            if path in seen:
+                (c0, c1), tr0 = seen[path]
+                off0 = np.asarray(tr0.translation, np.float32)
+                off = np.asarray(tr.translation, np.float32)
+                s = np.float32(tr.scale / tr0.scale)
+                for p0, n0, t0, m0 in self._tri_chunks[c0:c1]:
+                    self.append_triangles((p0 - off0) * s + off, n0, t0, m0)
+            else:
+                c0 = len(self._tri_chunks)
+                self.load_model(path, tr)
+                seen[path] = ((c0, len(self._tri_chunks)), tr)
 
     # -- device upload ------------------------------------------------------
     def device_materials(self):

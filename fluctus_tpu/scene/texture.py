@@ -52,6 +52,16 @@ class TextureAtlas:
     has_kd: bool = dataclasses.field(metadata=dict(static=True), default=True)
     has_ks: bool = dataclasses.field(metadata=dict(static=True), default=True)
     has_n: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    # host-side copies of the descriptors (tuples of ints, static): host
+    # consumers (MXUScene.build bakes them per-triangle) must never read
+    # the device arrays back — a device->host sync over the axon tunnel
+    # costs seconds
+    offset_t: tuple = dataclasses.field(metadata=dict(static=True),
+                                        default=())
+    width_t: tuple = dataclasses.field(metadata=dict(static=True),
+                                       default=())
+    height_t: tuple = dataclasses.field(metadata=dict(static=True),
+                                        default=())
 
     def with_material_usage(self, materials) -> "TextureAtlas":
         import dataclasses as dc
@@ -72,7 +82,9 @@ def pack_atlas(textures: List[HostTexture]) -> TextureAtlas:
         return TextureAtlas(jnp.zeros(_MIN_ROWS, jnp.uint32),
                             jnp.zeros(n_pad, jnp.int32),
                             jnp.ones(n_pad, jnp.int32),
-                            jnp.ones(n_pad, jnp.int32), count=0)
+                            jnp.ones(n_pad, jnp.int32), count=0,
+                            offset_t=(0,) * n_pad, width_t=(1,) * n_pad,
+                            height_t=(1,) * n_pad)
     offsets, ws, hs, chunks = [], [], [], []
     total = 0
     for t in textures:
@@ -93,4 +105,5 @@ def pack_atlas(textures: List[HostTexture]) -> TextureAtlas:
         offset=jnp.asarray(np.array(offsets, np.int32)),
         width=jnp.asarray(np.array(ws, np.int32)),
         height=jnp.asarray(np.array(hs, np.int32)),
-        count=len(textures))
+        count=len(textures),
+        offset_t=tuple(offsets), width_t=tuple(ws), height_t=tuple(hs))

@@ -30,6 +30,7 @@ def test_sorted_trace_restores_order(monkeypatch):
         t12 = None          # forces the rays-on-sublanes dispatch
         txy_t = None
         sub_box = None
+        sc_box = None
         cluster_box = jnp.asarray([[-1.0, -1, -1, 1, 1, 1, 0, 0]])
         n_clusters = 1
         cluster_size = 128
