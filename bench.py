@@ -89,12 +89,45 @@ def _run(jax, Renderer, Settings):
         elapsed = time.time() - t0
         perf = r.perf_mrays(elapsed)
         value = perf["total"]
-    return {
+    out = {
         "metric": "Mrays/s/chip (traverse+shade), egyptcat 1080p",
         "value": round(value, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(value / BASELINE_MRAYS, 4),
     }
+    if os.environ.get("BENCH_BIG", "1") == "1":
+        try:
+            out["big_scene_320k"] = _run_big(Renderer, Settings)
+        except Exception as e:       # never lose the headline number
+            out["big_scene_320k"] = {"error": repr(e)[:200]}
+    return out
+
+
+def _run_big(Renderer, Settings):
+    """Second entry at conference scale (tracer.cpp:419-424 names
+    conference ~331k tris; the .obj doesn't ship, so the 5x4 egyptcat grid
+    at 320,520 tris stands in): supercluster traversal tier +
+    HBM-streamed resolve at 1080p."""
+    s = Settings()
+    s.use_env_map = True
+    s.camera.pos = (0.0, 14.0, 40.0)
+    s.camera.dir = (0.0, -0.35, -1.0)
+    r = Renderer(1920, 1080, settings=s, data_dir="data")
+    r.load_scene("data/bigscene/big_egyptcat_5x4.sc.json", env_map=ENV,
+                 use_saved_state=False)
+    num_tasks = int(os.environ.get("BENCH_TASKS", str(1 << 20)))
+    segments = int(os.environ.get("BENCH_BIG_SEGMENTS", "24"))
+    r.init_wavefront(num_tasks)
+    r.render_wavefront(2)          # warmup/compile
+    r.init_wavefront(num_tasks)
+    t0 = time.time()
+    r.render_wavefront(segments)
+    elapsed = time.time() - t0
+    st = r.wavefront_stats()
+    mrays = (int(st.primary_rays) + int(st.extension_rays)
+             + int(st.shadow_rays)) / (1e6 * elapsed)
+    return {"metric": "Mrays/s/chip, 5x4 egyptcat grid (320k tris) 1080p",
+            "value": round(mrays, 2), "unit": "Mrays/s"}
 
 
 if __name__ == "__main__":

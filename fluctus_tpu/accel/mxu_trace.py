@@ -61,6 +61,10 @@ import os as _os_env
 SC_CLUSTERS = int(_os_env.environ.get("FLT_SC_CLUSTERS", "64"))
 SC_THRESHOLD = int(_os_env.environ.get("FLT_SC_THRESHOLD", "96"))
 
+# bump when any table layout changes (ATTR_*/B16 columns, transform packing,
+# cluster/supercluster cut rules) — invalidates on-disk table caches
+TABLE_VERSION = 2
+
 # attrs column layout (keep in sync with resolve consumers in core/trace.py)
 ATTR_N = 0        # nx, ny, nz
 ATTR_UV = 3       # tu, tv
@@ -327,6 +331,10 @@ class MXUScene:
     txy_t: Optional[jnp.ndarray] = None
     # coefficient-major transforms [12, Mpad] for the rays-on-lanes kernel
     t12: Optional[jnp.ndarray] = None
+    # cluster-blocked transforms [n_clusters*16, tc] (cluster c at sublanes
+    # c*16..c*16+12) — DMA/slice-friendly layout for the resolve kernels'
+    # exact-f32 winner-transform fetch
+    t12b: Optional[jnp.ndarray] = None
     # 128-triangle sub-block AABBs [n_clusters * (tc//128), 8] for the
     # sub-block-culled kernel (NaN rows = empty sub-block, never hit)
     sub_box: Optional[jnp.ndarray] = None
@@ -352,7 +360,8 @@ class MXUScene:
               cluster_size: int = 256, normals: Optional[np.ndarray] = None,
               uvs: Optional[np.ndarray] = None,
               mat_ids: Optional[np.ndarray] = None,
-              materials=None, atlas=None, slim: bool = False) -> "MXUScene":
+              materials=None, atlas=None, slim: bool = False,
+              return_host: bool = False):
         """positions: [M,3,3] world-space triangle vertices. materials:
         optional list of HostMaterial — baked per-triangle into attrs.
         atlas: optional TextureAtlas whose per-texture w/h/offset descriptors
@@ -483,7 +492,7 @@ class MXUScene:
                 a = a.reshape(n_clusters, cluster_size, 3, ATTR_COLS)
                 a = a.transpose(0, 2, 1, 3).reshape(
                     n_clusters * 3 * cluster_size, ATTR_COLS)
-                attrs = jnp.asarray(a)
+                attrs = a
 
         txy_t = np.concatenate([t4[:, :, 0], t4[:, :, 1], t4[:, :, 2]],
                                axis=1).astype(np.float32)  # [Mpad, 12]
@@ -499,33 +508,89 @@ class MXUScene:
             sb = np.full((n_clusters * nsb, 8), np.nan, np.float32)
             sb[:, 0:3] = np.where(any_used[:, None], g, np.nan)
             sb[:, 3:6] = np.where(any_used[:, None], h, np.nan)
-            sub_box = jnp.asarray(sb)
+            sub_box = sb
 
         attr_b16 = None
         if attrs is not None:
             # `a_tri` holds the pre-reshape [Mpad, 3, ATTR_COLS] layout
-            attr_b16 = jnp.asarray(_build_attr_b16(a_tri, txy_t))
+            attr_b16 = _build_attr_b16(a_tri, txy_t)
         if attrs is True:
             attrs = None   # slim: B16 only
 
-        return MXUScene(
-            sc_box=(jnp.asarray(sc_box) if sc_box is not None else None),
+        # cluster-blocked transforms for the resolve kernels' exact-f32
+        # winner-transform fetch: cluster c's 12 transform rows live at
+        # sublanes [c*16, c*16+12) (16-row stride keeps dynamic sublane
+        # offsets 8-aligned; lane width = cluster_size is DMA-sliceable,
+        # unlike the 12-lane-wide txy_t)
+        t12 = np.ascontiguousarray(txy_t.T)
+        t12b = np.zeros((n_clusters * 16, cluster_size), np.float32)
+        t12b.reshape(n_clusters, 16, cluster_size)[:, :12] = \
+            t12.reshape(12, n_clusters, cluster_size).transpose(1, 0, 2)
+
+        host = dict(
+            sc_box=sc_box, sub_box=sub_box, attr_b16=attr_b16, attrs=attrs,
+            txy_t=txy_t, t12=t12, t12b=t12b,
+            tx=np.ascontiguousarray(t4[:, :, 0].T, np.float32),
+            ty=np.ascontiguousarray(t4[:, :, 1].T, np.float32),
+            tz=np.ascontiguousarray(t4[:, :, 2].T, np.float32),
+            cluster_box=boxes, tri_map=tri_map,
+            center=center.astype(np.float32))
+        statics = dict(
+            n_clusters=n_clusters, cluster_size=cluster_size,
             n_superclusters=n_sc,
-            sub_box=sub_box,
-            attr_b16=attr_b16,
-            attrs=attrs,
-            txy_t=jnp.asarray(txy_t),
-            t12=jnp.asarray(np.ascontiguousarray(txy_t.T)),
-            tx=jnp.asarray(np.ascontiguousarray(t4[:, :, 0].T, np.float32)),
-            ty=jnp.asarray(np.ascontiguousarray(t4[:, :, 1].T, np.float32)),
-            tz=jnp.asarray(np.ascontiguousarray(t4[:, :, 2].T, np.float32)),
-            cluster_box=jnp.asarray(boxes),
-            tri_map=jnp.asarray(tri_map),
-            center=jnp.asarray(center.astype(np.float32)),
-            n_clusters=n_clusters,
-            cluster_size=cluster_size,
             has_tex_meta=(atlas is not None and materials is not None
                           and getattr(atlas, "count", 0) > 0))
+        if return_host:
+            return host, statics
+        return MXUScene._from_host(host, statics)
+
+    @staticmethod
+    def _from_host(host: dict, statics: dict) -> "MXUScene":
+        """Upload the host-built table dict (build / cache load) once."""
+        j = lambda k: (jnp.asarray(host[k]) if host.get(k) is not None
+                       else None)
+        return MXUScene(
+            sc_box=j("sc_box"), sub_box=j("sub_box"), attr_b16=j("attr_b16"),
+            attrs=j("attrs"), txy_t=j("txy_t"), t12=j("t12"),
+            t12b=j("t12b"),
+            tx=j("tx"), ty=j("ty"), tz=j("tz"),
+            cluster_box=j("cluster_box"), tri_map=j("tri_map"),
+            center=j("center"), **statics)
+
+    @staticmethod
+    def build_cached(cache_path: Optional[str], positions, bvh,
+                     progress=None, **kw) -> "MXUScene":
+        """build() behind a content-keyed binary table cache — the
+        hierarchy-cache philosophy (data/hierarchies, tracer.cpp:934-952)
+        applied to the MXU tables, which otherwise cost ~20 s of host
+        numpy at 320k tris on every run. The caller keys ``cache_path``
+        by scene hash + split mode + cluster size + B16_LAYOUT_VERSION."""
+        if cache_path and _os_env.path.exists(cache_path):
+            z = np.load(cache_path, allow_pickle=False)
+            host = {k: (None if z[k].ndim == 0 else z[k])
+                    for k in ("sc_box", "sub_box", "attr_b16", "attrs",
+                              "txy_t", "t12", "t12b", "tx", "ty", "tz",
+                              "cluster_box", "tri_map", "center")}
+            if host["attr_b16"] is not None:
+                import ml_dtypes
+                host["attr_b16"] = host["attr_b16"].view(ml_dtypes.bfloat16)
+            statics = dict(
+                n_clusters=int(z["n_clusters"]),
+                cluster_size=int(z["cluster_size"]),
+                n_superclusters=int(z["n_superclusters"]),
+                has_tex_meta=bool(z["has_tex_meta"]))
+            return MXUScene._from_host(host, statics)
+        host, statics = MXUScene.build(positions, bvh, return_host=True, **kw)
+        if cache_path:
+            _os_env.makedirs(_os_env.path.dirname(cache_path), exist_ok=True)
+            out = {k: (np.zeros(()) if v is None else
+                       (v.view(np.uint16) if k == "attr_b16" else v))
+                   for k, v in host.items()}
+            out.update(statics)
+            tmp = cache_path + ".tmp.npz"   # .npz suffix: savez won't append
+            np.savez(tmp, **out)
+            _os_env.replace(tmp, cache_path)
+        return MXUScene._from_host(host, statics)
 
 
 # ---------------------------------------------------------------------------
@@ -1617,6 +1682,17 @@ def _sorted_trace(o4, d4, tmax_col, scene, any_hit, ray_tile, interpret):
         tmax_col = jnp.full((b, 1), F32_MAX, jnp.float32)
     tmax_col = _exit_clamp(o4, d4, tmax_col, lo, hi)
     key_mode = _os.environ.get("FLT_KEY", "oct")
+    if key_mode == "none":
+        # no-sort mode: trace in LANE order. With the block-bound pool
+        # (config.block_ring) lanes are already pixel-block-coherent —
+        # primary rays share a tile's frustum and bounce rays share the
+        # block's hit region — so the per-segment sort/unsort pair can be
+        # skipped entirely; tiles are simply lane-order chunks. The
+        # per-tile candidate machinery (_tile_order) is layout-agnostic.
+        t, i = _dispatch_trace(o4, d4, tmax_col, scene, any_hit,
+                               ray_tile, interpret)
+        t_out = jnp.where(i[:, 0] >= 0, t[:, 0], F32_MAX)
+        return t_out.reshape(b, 1), i
     if key_mode == "dir":
         q = jnp.clip((d4[:, 0:3] * 0.5 + 0.5) * 127.0,
                      0.0, 127.0).astype(jnp.int32)
@@ -1918,8 +1994,8 @@ def _resolve_v2(col, o4, d4, txy, attrs, scene_static, ray_tile, interpret):
     )(col, o4, d4, order, txy, attrs)
 
 
-def _resolve_kernel_v3(col_ref, o_ref, d_ref, tbl_ref, out_ref, acc_ref,
-                       *, rt, tc):
+def _resolve_kernel_v3(col_ref, o_ref, d_ref, tbl_ref, txy_ref, out_ref,
+                       acc_ref, txyacc_ref, *, rt, tc):
     """Winner-attribute resolve, v3: per winner cluster ONE single-pass
     bf16 one-hot product fetches the whole 128-lane B16 row (transforms +
     attributes; every entry bf16-exact by construction — see B16), then
@@ -1929,8 +2005,16 @@ def _resolve_kernel_v3(col_ref, o_ref, d_ref, tbl_ref, out_ref, acc_ref,
 
     The tile's distinct winner clusters are discovered IN-KERNEL by an
     ascending min-scan over the rays' winner ids — no precomputed winner
-    lists (the JAX-level lane sorts those needed were offload ops)."""
+    lists (the JAX-level lane sorts those needed were offload ops).
+
+    The winner's TRANSFORM rows are fetched in exact f32 from the
+    cluster-blocked t12b table via a HIGHEST-precision one-hot product (an
+    exact selection): t/u/v derived from the bf16 hi/lo reconstruction
+    lose ~2^-16 of the pre-cancellation magnitude, which at
+    conference-scale scene extents (~115 units) grew to percent-level t
+    error."""
     acc_ref[:] = jnp.zeros((rt, B16.COLS), jnp.float32)
+    txyacc_ref[:] = jnp.zeros((rt, 16), jnp.float32)
     col = col_ref[:]                      # [rt,1] padded winner column
     O = o_ref[:]
     D = d_ref[:]
@@ -1950,25 +2034,30 @@ def _resolve_kernel_v3(col_ref, o_ref, d_ref, tbl_ref, out_ref, acc_ref,
         local = col - c * tc
         active = (local >= 0) & (local < tc)
         lane = jax.lax.broadcasted_iota(jnp.int32, (rt, tc), 1)
-        onehot = ((lane == local) & active).astype(jnp.bfloat16)
+        ohb = (lane == local) & active
+        onehot = ohb.astype(jnp.bfloat16)
         off = pl.multiple_of(c * tc, 128)
         acc_ref[:] = acc_ref[:] + jnp.dot(
             onehot, tbl_ref[pl.ds(off, tc), :],
             preferred_element_type=jnp.float32)           # [rt, 128]
+        blk = txy_ref[pl.ds(pl.multiple_of(c * 16, 16), 16), :]  # [16, tc]
+        txyacc_ref[:] = txyacc_ref[:] + jax.lax.dot_general(
+            ohb.astype(jnp.float32), blk,
+            (((1,), (1,)), ((), ())), precision=HIGHEST)  # [rt, 16] exact
         return c
 
     jax.lax.while_loop(cond, body, jnp.int32(-1))
-    out_ref[:] = _b16_epilogue(acc_ref[:], col, O, D, rt)
+    out_ref[:] = _b16_epilogue(acc_ref[:], col, O, D, rt,
+                               txyacc_ref[:, :12])
 
 
-def _b16_epilogue(row, col, O, D, rt):
+def _b16_epilogue(row, col, O, D, rt, txy):
     """Reconstruct the f32 ATTR row from the accumulated B16 fetch: hi+lo
-    float sums, 8-bit chunk recombination, exact t/u/v from the winner
-    transform, barycentric interpolation of the per-vertex floats. Runs
-    ONCE per tile (deferred out of the per-cluster loop)."""
+    float sums, 8-bit chunk recombination, exact t/u/v from the winner's
+    f32 transform row (txy), barycentric interpolation of the per-vertex
+    floats. Runs ONCE per tile (deferred out of the per-cluster loop)."""
     active = col >= 0
     g = lambda a, w: row[:, a:a + w]
-    txy = g(B16.TXY_HI, 12) + g(B16.TXY_LO, 12)
     oz = jnp.sum(O * txy[:, 8:12], axis=1, keepdims=True)
     dz = jnp.sum(D * txy[:, 8:12], axis=1, keepdims=True)
     t = -oz / jnp.where(dz == 0.0, 1.0, dz)
@@ -2008,7 +2097,7 @@ def _b16_epilogue(row, col, O, D, rt):
 
 
 @partial(jax.jit, static_argnames=("scene_static", "ray_tile", "interpret"))
-def _resolve_v3(col, o4, d4, tbl, scene_static, ray_tile, interpret):
+def _resolve_v3(col, o4, d4, tbl, t12b, scene_static, ray_tile, interpret):
     n_clusters, tc = scene_static
     rt = ray_tile
     b = col.shape[0]
@@ -2021,19 +2110,22 @@ def _resolve_v3(col, o4, d4, tbl, scene_static, ray_tile, interpret):
             pl.BlockSpec((rt, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bf16 table resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # f32 blocked transforms
         ],
         out_specs=pl.BlockSpec((rt, ATTR_COLS), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, ATTR_COLS), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((rt, B16.COLS), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((rt, B16.COLS), jnp.float32),
+                        pltpu.VMEM((rt, 16), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_RESOLVE_V2_VMEM_BYTES + (16 << 20)),
+            vmem_limit_bytes=_RESOLVE_V2_VMEM_BYTES + (40 << 20)),
         interpret=interpret,
-    )(col, o4, d4, tbl)
+    )(col, o4, d4, tbl, t12b)
 
 
-def _resolve_kernel_v4(col_ref, o_ref, d_ref, tbl_ref, out_ref, acc_ref,
-                       buf_ref, sem_ref, *, rt, tc):
+def _resolve_kernel_v4(col_ref, o_ref, d_ref, tbl_ref, txy_ref, out_ref,
+                       acc_ref, txyacc_ref, buf_ref, buf2_ref, sem_ref,
+                       sem2_ref, *, rt, tc):
     """Winner-attribute resolve, v4: the B16 table stays in HBM; each
     winner cluster's [tc, 128] bf16 block (64 KB) is DMA'd into a
     double-buffered VMEM scratch while the previous block's one-hot
@@ -2042,6 +2134,7 @@ def _resolve_kernel_v4(col_ref, o_ref, d_ref, tbl_ref, out_ref, acc_ref,
     ~5 winner blocks per tile costs ~0.3 MB of traffic instead.
     Winner discovery is the same in-kernel ascending min-scan as v3."""
     acc_ref[:] = jnp.zeros((rt, B16.COLS), jnp.float32)
+    txyacc_ref[:] = jnp.zeros((rt, 16), jnp.float32)
     col = col_ref[:]                      # [rt,1] padded winner column
     O = o_ref[:]
     D = d_ref[:]
@@ -2052,15 +2145,20 @@ def _resolve_kernel_v4(col_ref, o_ref, d_ref, tbl_ref, out_ref, acc_ref,
         return jnp.min(jnp.where(ccl > prev, ccl, NONE))
 
     def start_dma(c, slot):
-        dma = pltpu.make_async_copy(
+        pltpu.make_async_copy(
             tbl_ref.at[pl.ds(c * tc, tc), :],
-            buf_ref.at[slot], sem_ref.at[slot])
-        dma.start()
+            buf_ref.at[slot], sem_ref.at[slot]).start()
+        pltpu.make_async_copy(
+            txy_ref.at[pl.ds(c * 16, 16), :],
+            buf2_ref.at[slot], sem2_ref.at[slot]).start()
 
     def wait_dma(c, slot):
         pltpu.make_async_copy(
             tbl_ref.at[pl.ds(c * tc, tc), :],
             buf_ref.at[slot], sem_ref.at[slot]).wait()
+        pltpu.make_async_copy(
+            txy_ref.at[pl.ds(c * 16, 16), :],
+            buf2_ref.at[slot], sem2_ref.at[slot]).wait()
 
     c0 = next_cluster(jnp.int32(-1))
 
@@ -2083,19 +2181,24 @@ def _resolve_kernel_v4(col_ref, o_ref, d_ref, tbl_ref, out_ref, acc_ref,
             local = col - c * tc
             active = (local >= 0) & (local < tc)
             lane = jax.lax.broadcasted_iota(jnp.int32, (rt, tc), 1)
-            onehot = ((lane == local) & active).astype(jnp.bfloat16)
+            ohb = (lane == local) & active
+            onehot = ohb.astype(jnp.bfloat16)
             acc_ref[:] = acc_ref[:] + jnp.dot(
                 onehot, buf_ref[slot],
                 preferred_element_type=jnp.float32)       # [rt, 128]
+            txyacc_ref[:] = txyacc_ref[:] + jax.lax.dot_general(
+                ohb.astype(jnp.float32), buf2_ref[slot],
+                (((1,), (1,)), ((), ())), precision=HIGHEST)  # [rt, 16]
             return nxt, 1 - slot
 
         jax.lax.while_loop(cond, body, (c0, jnp.int32(0)))
 
-    out_ref[:] = _b16_epilogue(acc_ref[:], col, O, D, rt)
+    out_ref[:] = _b16_epilogue(acc_ref[:], col, O, D, rt,
+                               txyacc_ref[:, :12])
 
 
 @partial(jax.jit, static_argnames=("scene_static", "ray_tile", "interpret"))
-def _resolve_v4(col, o4, d4, tbl, scene_static, ray_tile, interpret):
+def _resolve_v4(col, o4, d4, tbl, txy_t, scene_static, ray_tile, interpret):
     n_clusters, tc = scene_static
     rt = ray_tile
     b = col.shape[0]
@@ -2108,19 +2211,23 @@ def _resolve_v4(col, o4, d4, tbl, scene_static, ray_tile, interpret):
             pl.BlockSpec((rt, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),    # bf16 table in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),    # f32 transforms in HBM
         ],
         out_specs=pl.BlockSpec((rt, ATTR_COLS), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, ATTR_COLS), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((rt, B16.COLS), jnp.float32),
+            pltpu.VMEM((rt, 16), jnp.float32),
             pltpu.VMEM((2, tc, B16.COLS), jnp.bfloat16),
+            pltpu.VMEM((2, 16, tc), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 << 20),
         interpret=interpret,
-    )(col, o4, d4, tbl)
+    )(col, o4, d4, tbl, txy_t)
 
 
 # resident-table resolve needs txy+attrs in VMEM (~128 MB/chip); beyond
@@ -2140,14 +2247,14 @@ def resolve_hits_mxu(orig: Vec3, d: Vec3, t, col, scene: MXUScene,
     resolve_v = _os.environ.get("FLT_RESOLVE_V", RESOLVE_V)
     if not interpret and scene.attr_b16 is not None and resolve_v in ("3",
                                                                       "4"):
-        if resolve_v == "3" and \
-                scene.attr_b16.size * 2 <= _RESOLVE_V2_VMEM_BYTES:
-            out = _resolve_v3(col2, o4, d4, scene.attr_b16,
+        table_b = scene.attr_b16.size * 2 + scene.t12b.size * 4
+        if resolve_v == "3" and table_b <= _RESOLVE_V2_VMEM_BYTES:
+            out = _resolve_v3(col2, o4, d4, scene.attr_b16, scene.t12b,
                               (scene.n_clusters, scene.cluster_size),
                               ray_tile, interpret)
         else:
             # table exceeds the resident budget -> HBM-streamed variant
-            out = _resolve_v4(col2, o4, d4, scene.attr_b16,
+            out = _resolve_v4(col2, o4, d4, scene.attr_b16, scene.t12b,
                               (scene.n_clusters, scene.cluster_size),
                               ray_tile, interpret)
         return out[:n]

@@ -95,9 +95,53 @@ class WfCounters(NamedTuple):
     splatted: jnp.ndarray
 
 
+def _block_geom(config: RenderConfig):
+    """Static block-pool pixel geometry: (P true pixels per group, Pk
+    padded). Group g owns true pixels [g*P, g*P + len_g)."""
+    p_true = -(-config.num_pixels // config.groups)
+    pk = -(-p_true // 128) * 128
+    return p_true, pk
+
+
+def unpad_pixels(arr, config: RenderConfig):
+    """Padded per-pixel array [G*Pk(, C)] -> true layout [num_pixels(, C)].
+    Identity when the block pool is off."""
+    if not config.block_ring:
+        return arr
+    p_true, pk = _block_geom(config)
+    g = arr.shape[0] // pk
+    return arr.reshape((g, pk) + arr.shape[1:])[:, :p_true].reshape(
+        (g * p_true,) + arr.shape[1:])[:config.num_pixels]
+
+
+def pad_pixels(arr, config: RenderConfig, fill=0):
+    """True per-pixel array [num_pixels(, C)] -> padded block layout
+    [G*Pk(, C)] (inverse of unpad_pixels). ``fill`` lands in dead slots —
+    pass the parked sentinel for spp arrays."""
+    if not config.block_ring:
+        return arr
+    p_true, pk = _block_geom(config)
+    g = config.groups
+    total = g * p_true
+    tail = arr.shape[1:]
+    if total > arr.shape[0]:
+        arr = jnp.concatenate(
+            [arr, jnp.full((total - arr.shape[0],) + tail, fill, arr.dtype)])
+    m = arr.reshape((g, p_true) + tail)
+    pad_cfg = [(0, 0)] * m.ndim
+    pad_cfg[1] = (0, pk - p_true)
+    m = jnp.pad(m, pad_cfg, constant_values=fill)
+    return m.reshape((g * pk,) + tail)
+
+
 def wf_reset(config: RenderConfig, num_tasks: int, world_radius=1.0) -> WfState:
     """wf_reset.cl: clear film, reset pool, seed = gid. path_len = -1 marks
-    paths as pre-birth: the first segment regenerates them without splatting."""
+    paths as pre-birth: the first segment regenerates them without splatting.
+
+    Block mode (config.block_ring): film/spp live in the padded [G*Pk]
+    layout; the ring cursor becomes one cursor per group; padded dead
+    pixels' spp is parked at a huge value so exact-spp termination
+    (min over spp) ignores them."""
     n = num_tasks
     z = jnp.zeros(n, jnp.float32)
     pool = WfPool(
@@ -117,10 +161,22 @@ def wf_reset(config: RenderConfig, num_tasks: int, world_radius=1.0) -> WfState:
         last_light_pick=jnp.ones(n, jnp.float32),
         shadow_len=jnp.full(n, 2.0 * world_radius, jnp.float32),
         first_diffuse_hit=(jnp.zeros(n, bool) if config.denoiser else None))
-    return WfState(pool=pool, film=Film.zeros(config.num_pixels),
-                   spp=jnp.zeros(config.num_pixels, jnp.int32),
-                   curr_pixel=jnp.zeros((), jnp.int32),
-                   features=(FeatureFilm.zeros(config.num_pixels)
+    if config.block_ring:
+        p_true, pk = _block_geom(config)
+        npix = config.groups * pk
+        gi = jnp.arange(npix, dtype=jnp.int32) // pk
+        li = jnp.arange(npix, dtype=jnp.int32) % pk
+        live = li < jnp.clip(config.num_pixels - gi * p_true, 1, p_true)
+        spp0 = jnp.where(live, 0, jnp.int32(1 << 29))
+        curr0 = jnp.zeros(config.groups, jnp.int32)
+    else:
+        npix = config.num_pixels
+        spp0 = jnp.zeros(npix, jnp.int32)
+        curr0 = jnp.zeros((), jnp.int32)
+    return WfState(pool=pool, film=Film.zeros(npix),
+                   spp=spp0,
+                   curr_pixel=curr0,
+                   features=(FeatureFilm.zeros(npix)
                              if config.denoiser else None))
 
 
@@ -210,6 +266,16 @@ def wf_logic_phase(scene: DeviceScene, params: RenderParams, state: WfState,
     num_pixels = state.film.weight.shape[0]
     if pixel_base is None:
         pixel_base = jnp.int32(0)
+    block = cfg.block_ring
+    if block:
+        from . import block_splat as bs
+        p_true, pk_ = _block_geom(cfg)
+        g_local = num_pixels // pk_        # groups this shard owns
+        s_ = n // g_local                  # lanes per group
+        # block kernels run in interpret/segment_sum mode off-TPU (tests)
+        b_interp = cfg.backend != "mxu"
+        lpid = pool.pixel_index - pixel_base   # local padded pixel id
+        lane_g = jnp.arange(n, dtype=jnp.int32) // s_
 
     seed = pool.seed
     T = pool.T
@@ -238,7 +304,14 @@ def wf_logic_phase(scene: DeviceScene, params: RenderParams, state: WfState,
         # recompile; cfg.max_spp doubles as gate and fallback value
         spp_cap = jnp.where(params.max_spp > 0, params.max_spp,
                             jnp.int32(cfg.max_spp))
-        pix_spp = jnp.take(state.spp, pool.pixel_index - pixel_base)
+        if block:
+            # dense per-group fetch instead of a [n] gather
+            pix_spp = bs.fetch(lpid % pk_,
+                               state.spp.astype(jnp.float32)[:, None],
+                               groups=g_local,
+                               interpret=b_interp).astype(jnp.int32)
+        else:
+            pix_spp = jnp.take(state.spp, pool.pixel_index - pixel_base)
         max_samples_reached = pix_spp >= spp_cap
         terminate |= max_samples_reached
 
@@ -290,21 +363,22 @@ def wf_logic_phase(scene: DeviceScene, params: RenderParams, state: WfState,
     splat = terminate & (plen > 0)
     if cfg.max_spp > 0:
         splat &= ~max_samples_reached
-        # EXACT spp cap (improves on the reference's racy double-check,
-        # wf_logic.cl:76-84 / mk_splat.cl:21-34): rank each pixel's
-        # splatting lanes within the segment (two lax.sorts, no gathers)
-        # and admit only as many as the pixel's remaining budget.
-        lane = jnp.arange(n, dtype=jnp.int32)
-        key = jnp.where(splat, pool.pixel_index, jnp.int32(0x7FFFFFFF))
-        skey, slane = jax.lax.sort((key, lane), num_keys=1)
-        pos = jnp.arange(n, dtype=jnp.int32)
-        newrun = jnp.concatenate([jnp.ones(1, bool), skey[1:] != skey[:-1]])
-        runstart = jax.lax.cummax(jnp.where(newrun, pos, 0))
-        rank_sorted = pos - runstart
-        _, rank = jax.lax.sort((slane, rank_sorted), num_keys=1)
-        splat &= rank < (spp_cap - pix_spp)
-    seg = jnp.where(splat, pool.pixel_index - pixel_base,
-                    num_pixels)  # overflow bucket
+        if not block:
+            # EXACT spp cap (improves on the reference's racy double-check,
+            # wf_logic.cl:76-84 / mk_splat.cl:21-34): rank each pixel's
+            # splatting lanes within the segment (two lax.sorts, no
+            # gathers) and admit only as many as the pixel's remaining
+            # budget. (Block mode ranks inside the dense splat kernel.)
+            lane = jnp.arange(n, dtype=jnp.int32)
+            key = jnp.where(splat, pool.pixel_index, jnp.int32(0x7FFFFFFF))
+            skey, slane = jax.lax.sort((key, lane), num_keys=1)
+            pos = jnp.arange(n, dtype=jnp.int32)
+            newrun = jnp.concatenate([jnp.ones(1, bool),
+                                      skey[1:] != skey[:-1]])
+            runstart = jax.lax.cummax(jnp.where(newrun, pos, 0))
+            rank_sorted = pos - runstart
+            _, rank = jax.lax.sort((slane, rank_sorted), num_keys=1)
+            splat &= rank < (spp_cap - pix_spp)
     film = state.film
 
     # one 4-channel scatter instead of four 1-channel ones — scatters take
@@ -314,13 +388,36 @@ def wf_logic_phase(scene: DeviceScene, params: RenderParams, state: WfState,
                       jnp.where(splat, Ei.z, 0.0),
                       splat.astype(jnp.float32)], axis=1)
     splat_records = None
-    if defer_splat:
+    n_splatted = None
+    if block:
+        # dense per-group accumulation (core/block_splat.py) — no scatter
+        local_col = jnp.where(splat, lpid % pk_, -1)
+        fmat = jnp.stack([film.color.x, film.color.y, film.color.z,
+                          film.weight], axis=1)
+        if cfg.max_spp > 0:
+            remaining = jnp.maximum(spp_cap - state.spp, 0) \
+                .astype(jnp.float32)[:, None]
+            new_mat = bs.splat(local_col, data, fmat, groups=g_local,
+                               remaining=remaining, interpret=b_interp)
+            delta_w = new_mat[:, 3] - film.weight
+            spp_counts = state.spp + jnp.round(delta_w).astype(jnp.int32)
+            n_splatted = jnp.round(jnp.sum(delta_w)).astype(jnp.int32)
+        else:
+            new_mat = bs.splat(local_col, data, fmat, groups=g_local,
+                               interpret=b_interp)
+            spp_counts = state.spp
+        film = Film(color=Vec3(new_mat[:, 0], new_mat[:, 1], new_mat[:, 2]),
+                    weight=new_mat[:, 3])
+    elif defer_splat:
         # throughput mode: hand the (pixel, rgbw) records to the caller,
         # which batches K segments into ONE segment_sum — the scatter's
         # num_segments-proportional cost (~30 ms @2M pixels) amortizes
+        seg = jnp.where(splat, pool.pixel_index - pixel_base, num_pixels)
         splat_records = (seg, data)
         spp_counts = state.spp
     else:
+        seg = jnp.where(splat, pool.pixel_index - pixel_base,
+                        num_pixels)  # overflow bucket
         acc = jax.ops.segment_sum(data, seg,
                                   num_segments=num_pixels + 1)[:num_pixels]
         film = Film(
@@ -363,23 +460,38 @@ def wf_logic_phase(scene: DeviceScene, params: RenderParams, state: WfState,
         am = alive & ~singular & ~first_diffuse   # first non-singular hit
         first_diffuse = jnp.where(terminate, False,
                                   first_diffuse | (alive & ~singular))
-        fseg = jnp.where(nm | am, pool.pixel_index - pixel_base, num_pixels)
         fdata = jnp.stack([
             jnp.where(am, sp.Kd.x, 0.0), jnp.where(am, sp.Kd.y, 0.0),
             jnp.where(am, sp.Kd.z, 0.0), am.astype(jnp.float32),
             jnp.where(nm, cs.x, 0.0), jnp.where(nm, cs.y, 0.0),
             jnp.where(nm, cs.z, 0.0), nm.astype(jnp.float32)], axis=1)
-        facc = jax.ops.segment_sum(fdata, fseg,
-                                   num_segments=num_pixels + 1)[:num_pixels]
-        features = FeatureFilm(
-            albedo=Vec3(features.albedo.x + facc[:, 0],
-                        features.albedo.y + facc[:, 1],
-                        features.albedo.z + facc[:, 2]),
-            albedo_w=features.albedo_w + facc[:, 3],
-            normal=Vec3(features.normal.x + facc[:, 4],
-                        features.normal.y + facc[:, 5],
-                        features.normal.z + facc[:, 6]),
-            normal_w=features.normal_w + facc[:, 7])
+        if block:
+            f_local = jnp.where(nm | am, lpid % pk_, -1)
+            f_prev = jnp.stack([
+                features.albedo.x, features.albedo.y, features.albedo.z,
+                features.albedo_w, features.normal.x, features.normal.y,
+                features.normal.z, features.normal_w], axis=1)
+            f_new = bs.splat(f_local, fdata, f_prev, groups=g_local,
+                             interpret=b_interp)
+            features = FeatureFilm(
+                albedo=Vec3(f_new[:, 0], f_new[:, 1], f_new[:, 2]),
+                albedo_w=f_new[:, 3],
+                normal=Vec3(f_new[:, 4], f_new[:, 5], f_new[:, 6]),
+                normal_w=f_new[:, 7])
+        else:
+            fseg = jnp.where(nm | am, pool.pixel_index - pixel_base,
+                             num_pixels)
+            facc = jax.ops.segment_sum(
+                fdata, fseg, num_segments=num_pixels + 1)[:num_pixels]
+            features = FeatureFilm(
+                albedo=Vec3(features.albedo.x + facc[:, 0],
+                            features.albedo.y + facc[:, 1],
+                            features.albedo.z + facc[:, 2]),
+                albedo_w=features.albedo_w + facc[:, 3],
+                normal=Vec3(features.normal.x + facc[:, 4],
+                            features.normal.y + facc[:, 5],
+                            features.normal.z + facc[:, 6]),
+                normal_w=features.normal_w + facc[:, 7])
 
     shadow_pending = jnp.zeros(n, bool)
     shadow_orig, shadow_dir = pool.shadow_orig, pool.shadow_dir
@@ -451,12 +563,33 @@ def wf_logic_phase(scene: DeviceScene, params: RenderParams, state: WfState,
     # =====================================================================
     # RAYGEN for terminated paths (wf_raygen.cl) — pixel ring
     # =====================================================================
-    rank = jnp.cumsum(terminate.astype(jnp.int32)) - terminate.astype(jnp.int32)
-    n_regen = jnp.sum(terminate.astype(jnp.int32))
-    new_pixel = pixel_base + jnp.mod(state.curr_pixel + rank, num_pixels)
-    pixel_index = jnp.where(terminate, new_pixel, pool.pixel_index)
+    if block:
+        # one ring per pixel group: a lane always regenerates within its
+        # group's true-pixel range [g*P, g*P + len_g)
+        term_i = terminate.astype(jnp.int32).reshape(g_local, s_)
+        rank2 = jnp.cumsum(term_i, axis=1) - term_i
+        n_term_g = jnp.sum(term_i, axis=1)                     # [G_local]
+        n_regen = jnp.sum(n_term_g)
+        g0 = pixel_base // pk_
+        g_row = g0 + jnp.arange(g_local, dtype=jnp.int32)
+        len_g = jnp.clip(cfg.num_pixels - g_row * p_true, 1, p_true)
+        new_l = jnp.mod(state.curr_pixel[:, None] + rank2, len_g[:, None])
+        new_pixel = pixel_base + lane_g * pk_ + new_l.reshape(n)
+        curr_out = jnp.mod(state.curr_pixel + n_term_g, len_g)
+        pixel_index = jnp.where(terminate, new_pixel, pool.pixel_index)
+        # camera rays address TRUE pixels; padded id -> true id
+        g_of = pixel_index // pk_
+        cam_pid = g_of * p_true + jnp.mod(pixel_index, pk_)
+    else:
+        rank = jnp.cumsum(terminate.astype(jnp.int32)) \
+            - terminate.astype(jnp.int32)
+        n_regen = jnp.sum(terminate.astype(jnp.int32))
+        new_pixel = pixel_base + jnp.mod(state.curr_pixel + rank, num_pixels)
+        curr_out = jnp.mod(state.curr_pixel + n_regen, num_pixels)
+        pixel_index = jnp.where(terminate, new_pixel, pool.pixel_index)
+        cam_pid = pixel_index
     cam_orig, cam_dir, seed = generate_camera_rays(
-        pixel_index, params.camera, cfg.width, cfg.height,
+        cam_pid, params.camera, cfg.width, cfg.height,
         params.world_radius, seed)
 
     # merge: terminated -> fresh camera path; alive -> continuation
@@ -495,11 +628,11 @@ def wf_logic_phase(scene: DeviceScene, params: RenderParams, state: WfState,
         raygen=n_regen,
         extension=jnp.asarray(n, jnp.int32),
         shadow=jnp.sum(shadow_pending.astype(jnp.int32)),
-        splatted=jnp.sum(splat.astype(jnp.int32)))
+        splatted=(n_splatted if n_splatted is not None
+                  else jnp.sum(splat.astype(jnp.int32))))
 
     new_state = WfState(pool=new_pool, film=film, spp=spp_counts,
-                        curr_pixel=jnp.mod(state.curr_pixel + n_regen,
-                                           num_pixels),
+                        curr_pixel=curr_out,
                         features=features)
     if defer_splat:
         return new_state, counters, splat_records

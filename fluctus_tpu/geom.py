@@ -112,6 +112,18 @@ class RenderConfig:
     # first-diffuse-hit albedo, wf_logic.cl:214-237). Static gate like the
     # reference's USE_OPTIX_DENOISER define: off = zero cost.
     denoiser: bool = False
+    # Block-bound wavefront pool: pool slots are partitioned into `groups`
+    # groups, each bound to one contiguous pixel block with a private
+    # raygen ring (the reference's single global pixel ring,
+    # wf_raygen.cl:25, becomes one ring per block). Terminations then
+    # splat into dense per-block accumulators (core/block_splat.py)
+    # instead of a full-film scatter.
+    block_ring: bool = False
+    groups: int = 1024
+
+    def block_plan(self, num_tasks: int):
+        from .core.block_splat import plan
+        return plan(self.num_pixels, num_tasks, self.groups)
 
     @property
     def num_pixels(self) -> int:

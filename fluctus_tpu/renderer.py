@@ -109,15 +109,33 @@ class Renderer:
         on_tpu = jax.default_backend() == "tpu"
         mxu = None
         if on_tpu:
-            from .accel.mxu_trace import MXUScene
+            from .accel import mxu_trace as mt
             p, nrm, uv, mid = scene.triangle_arrays()
-            mxu = MXUScene.build(p, bvh, normals=nrm, uvs=uv, mat_ids=mid,
-                                 materials=scene.materials,
-                                 atlas=scene.device_textures(),
-                                 # past ~64k tris the f32 attrs fallback
-                                 # table is dead weight (B16 serves the
-                                 # resolve; streamed from HBM at scale)
-                                 slim=(len(p) > 65536))
+            slim = len(p) > 65536   # past ~64k tris the f32 attrs fallback
+            # table is dead weight (B16 serves the resolve; streamed from
+            # HBM at scale)
+            cache = None
+            if scene.hash:
+                tag = getattr(self.settings, "split_mode", "sah")
+                cs = mt.SC_CLUSTERS
+                # material params are baked into the tables — include them
+                # in the key so interactive edits miss the stale cache
+                import hashlib
+                mh = hashlib.blake2b(
+                    repr([m.__dict__ for m in scene.materials]).encode(),
+                    digest_size=6).hexdigest()
+                cache = os.path.join(
+                    self.data_dir, "mxu_tables",
+                    f"mxu_{scene.hash}_{mh}_{tag}_c256s{cs}"
+                    f"{'_slim' if slim else ''}_v{mt.TABLE_VERSION}.npz")
+            t0 = time.time()
+            mxu = mt.MXUScene.build_cached(
+                cache, p, bvh, normals=nrm, uvs=uv, mat_ids=mid,
+                materials=scene.materials, atlas=scene.device_textures(),
+                slim=slim)
+            if len(p) > 65536:
+                print(f"MXU tables: {mxu.n_clusters} clusters, "
+                      f"{mxu.n_superclusters} supers ({time.time()-t0:.2f}s)")
 
         self.device_scene = DeviceScene(
             tris=TrianglesDevice.from_arrays(*scene.triangle_arrays()),
@@ -127,6 +145,18 @@ class Renderer:
             env=scene.envmap.device_tables() if scene.envmap else None,
             material_types=scene.material_types,
             mxu=mxu)
+
+        # block-bound wavefront pool: pick a group count compatible with
+        # the image and the default pool size (power of two, each group
+        # holding >= 4 pixels)
+        groups = 1024
+        npx = self.width * self.height
+        ntasks = s.wf_buffer_size
+        while groups > 1 and (npx < 4 * groups or ntasks % groups
+                              or (groups - 1) * (-(-npx // groups)) >= npx):
+            groups //= 2
+        block = (on_tpu and groups > 1
+                 and os.environ.get("FLT_BLOCK_RING", "1") == "1")
 
         self.config = RenderConfig(
             width=self.width, height=self.height,
@@ -141,7 +171,8 @@ class Renderer:
             backend="mxu" if on_tpu else "jax",
             unroll_bounces=on_tpu,
             fast_env=on_tpu,
-            denoiser=s.use_denoiser)
+            denoiser=s.use_denoiser,
+            block_ring=block, groups=groups)
 
     def reload_materials(self):
         """Re-upload materials/textures after host-side edits (material
@@ -236,7 +267,9 @@ class Renderer:
             color_x=np.asarray(film.color.x), color_y=np.asarray(film.color.y),
             color_z=np.asarray(film.color.z), weight=np.asarray(film.weight))
         if getattr(self, "_wf_state", None) is not None:
-            arrs["spp"] = np.asarray(self._wf_state.spp)
+            from .core.integrator_wf import unpad_pixels
+            arrs["spp"] = np.asarray(
+                unpad_pixels(self._wf_state.spp, self._wf_cfg))
         if getattr(self, "features", None) is not None:
             f = self.features
             arrs.update(feat_alb_x=np.asarray(f.albedo.x),
@@ -266,9 +299,14 @@ class Renderer:
                     weight=jnp.asarray(z["weight"]))
         self.film = film
         if getattr(self, "_wf_state", None) is not None:
-            st = self._wf_state._replace(film=film)
+            from .core.integrator_wf import pad_pixels
+            cfg = self._wf_cfg
+            pad = lambda tree: jax.tree_util.tree_map(
+                lambda a: pad_pixels(a, cfg), tree)
+            st = self._wf_state._replace(film=pad(film))
             if "spp" in z.files:
-                st = st._replace(spp=jnp.asarray(z["spp"]))
+                st = st._replace(spp=pad_pixels(jnp.asarray(z["spp"]), cfg,
+                                                fill=1 << 29))
             self._wf_state = st
         if "feat_alb_x" in z.files and self.features is not None:
             from .core.integrator_mk import FeatureFilm
@@ -341,7 +379,11 @@ class Renderer:
                                          wf_segment, wf_shade_phase,
                                          wf_trace_phase)
         self.num_tasks = num_tasks or self.settings.wf_buffer_size
-        self._wf_state = wf_reset(self.config, self.num_tasks,
+        cfg = self.config
+        if cfg.block_ring and self.num_tasks % cfg.groups:
+            cfg = cfg.replace(block_ring=False)   # incompatible pool size
+        self._wf_cfg = cfg
+        self._wf_state = wf_reset(cfg, self.num_tasks,
                                   world_radius=self.world_radius)
         # two-dispatch segments: trace and logic as separate programs keep
         # each program's sort/gather/scatter offload-op count low — fused
@@ -376,27 +418,28 @@ class Renderer:
         """Advance the wavefront `segments` steps (Tracer::update loop body,
         tracer.cpp:269-283). Dispatch is asynchronous: the host runs ahead
         and only synchronizes at the end (the reference's finishQueue)."""
-        defer = (self._wf_phased and self.config.max_spp == 0
-                 and self._splat_every > 1)
+        cfg = self._wf_cfg
+        defer = (self._wf_phased and cfg.max_spp == 0
+                 and not cfg.block_ring and self._splat_every > 1)
         fused_shade = os.environ.get("FLT_WF_FUSED_SHADE", "1") == "1"
         for _ in range(segments):
             if self._wf_phased:
                 raw, occ = self._wf_trace(
                     self.device_scene, self._wf_state.pool, self.params,
-                    self.config)
+                    cfg)
                 if fused_shade and not defer:
                     self._wf_state, cnt = self._wf_shade(
                         self.device_scene, self.params, self._wf_state,
-                        self.config, raw, occ)
+                        cfg, raw, occ)
                     self._wf_counters.append(cnt)
                     continue
                 hit, sp = self._wf_resolve(
                     self.device_scene, self._wf_state.pool, self.params,
-                    self.config, raw)
+                    cfg, raw)
                 if defer:
                     self._wf_state, cnt, rec = self._wf_logic(
                         self.device_scene, self.params, self._wf_state,
-                        self.config, hit, sp, occ, defer_splat=True)
+                        cfg, hit, sp, occ, defer_splat=True)
                     self._splat_segs.append(rec[0])
                     self._splat_datas.append(rec[1])
                     if len(self._splat_segs) >= self._splat_every:
@@ -404,11 +447,11 @@ class Renderer:
                 else:
                     self._wf_state, cnt = self._wf_logic(
                         self.device_scene, self.params, self._wf_state,
-                        self.config, hit, sp, occ)
+                        cfg, hit, sp, occ)
             else:
                 self._wf_state, cnt = self._wf_step(
                     self.device_scene, self.params, self._wf_state,
-                    self.config)
+                    cfg)
             self._wf_counters.append(cnt)
         if sync:
             self._flush_splats()
@@ -450,10 +493,14 @@ class Renderer:
                            jnp.int32(samp))
 
     def wavefront_film(self):
+        from .core.integrator_wf import unpad_pixels
         self._flush_splats()
+        cfg = self._wf_cfg
+        unpad = lambda tree: jax.tree_util.tree_map(
+            lambda a: unpad_pixels(a, cfg), tree)
         if self._wf_state.features is not None:
-            self.features = self._wf_state.features
-        return self._wf_state.film
+            self.features = unpad(self._wf_state.features)
+        return unpad(self._wf_state.film)
 
     def render_single_wavefront(self, spp: int,
                                 num_tasks: Optional[int] = None,
@@ -470,9 +517,11 @@ class Renderer:
         program. With ``accumulate`` the call continues the persistent
         exact state for ``spp`` MORE samples per pixel (renderSingle's
         progressive accumulation contract)."""
-        from .core.integrator_wf import wf_reset, wf_segment
+        from .core.integrator_wf import unpad_pixels, wf_reset, wf_segment
         cfg = self.config.replace(max_spp=1, use_roulette=False)
         n_tasks = num_tasks or self.settings.wf_buffer_size
+        if cfg.block_ring and n_tasks % cfg.groups:
+            cfg = cfg.replace(block_ring=False)
         state = getattr(self, "_wf_exact_state", None)
         if not accumulate or state is None or \
                 state.pool.seed.shape[0] != n_tasks:
@@ -493,16 +542,19 @@ class Renderer:
                 done += 1
             if int(jnp.min(state.spp)) >= target:
                 break
-        self.film = state.film
+        unpad = lambda tree: jax.tree_util.tree_map(
+            lambda a: unpad_pixels(a, cfg), tree)
+        self.film = unpad(state.film)
         self._wf_exact_state = state
         self._wf_exact_target = target
         self._wf_state = state
+        self._wf_cfg = cfg
         self._wf_counters = counters
         if state.features is not None:
-            self.features = state.features
+            self.features = unpad(state.features)
         st = self.wavefront_stats()
         self.stats = self.stats + st
-        return state.film
+        return self.film
 
     # -- output --------------------------------------------------------------
     def ldr_image(self) -> np.ndarray:

@@ -137,7 +137,7 @@ def test_resolve_v3_matches_v2():
     v2 = np.asarray(mt._resolve_v2(col2, o4, d4, mxu.txy_t, mxu.attrs,
                                    (mxu.n_clusters, mxu.cluster_size), 256,
                                    True))
-    v3 = np.asarray(mt._resolve_v3(col2, o4, d4, mxu.attr_b16,
+    v3 = np.asarray(mt._resolve_v3(col2, o4, d4, mxu.attr_b16, mxu.t12b,
                                    (mxu.n_clusters, mxu.cluster_size), 256,
                                    True))
     for c_ in (mt.ATTR_MAT, mt.ATTR_TYPE, mt.ATTR_MAP_KD, mt.ATTR_MAP_KS,
