@@ -81,3 +81,34 @@ def test_mk_sharded_two_steps_accumulate():
                                   np.asarray(film_u.weight))
     np.testing.assert_array_equal(np.asarray(film_s.color.x),
                                   np.asarray(film_u.color.x))
+
+def test_host_mesh_layout():
+    """Multi-host mesh ordering (parallel/distributed.py): same-host
+    devices contiguous, stable within host, ragged hosts rejected."""
+    import numpy as np
+    import pytest
+
+    from fluctus_tpu.parallel.distributed import (host_mesh_layout,
+                                                  make_global_mesh)
+
+    # interleaved host ids (the order jax.devices() can return on
+    # multi-host) -> host-contiguous permutation, stable within host
+    perm = host_mesh_layout([1, 0, 1, 0, 1, 0, 1, 0])
+    ids = np.asarray([1, 0, 1, 0, 1, 0, 1, 0])[perm]
+    assert (ids == [0, 0, 0, 0, 1, 1, 1, 1]).all()
+    assert list(perm[:4]) == [1, 3, 5, 7]       # stable intra-host order
+
+    with pytest.raises(ValueError):
+        host_mesh_layout([0, 0, 1])             # ragged
+
+    # single-process: global mesh == plain mesh over the same devices
+    m = make_global_mesh()
+    assert m.devices.size == len(jax.devices())
+
+
+def test_init_distributed_noop_by_default():
+    import os
+
+    from fluctus_tpu.parallel.distributed import init_distributed
+    assert os.environ.get("FLT_MULTIHOST", "0") != "1"
+    assert init_distributed() is False

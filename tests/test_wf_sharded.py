@@ -99,3 +99,52 @@ def test_sharded_wavefront_converges():
     mean_u = (np.asarray(st_u.film.color.x).sum() / w_u.sum())
     mean_s = (np.asarray(st_s.film.color.x).sum() / w_s.sum())
     assert abs(mean_u - mean_s) / max(mean_u, 1e-9) < 0.05
+
+
+def test_sharded_equals_local_egyptcat():
+    """Bit-exactness on the REAL scene path (round-3 verdict #4): the full
+    egyptcat DeviceScene pytree — 16k-tri BVH, GGX + texture atlas, env
+    radiance/pdf/alias tables — sharded over 8 virtual devices, vs the
+    same per-shard segments run sequentially on one device."""
+    from fluctus_tpu.testing import egyptcat_scene
+
+    d = 8
+    num_tasks = 128 * d
+    scene, params, config = egyptcat_scene(width=8 * d, height=8,
+                                           max_bounces=3)
+    mesh = make_mesh(d)
+    state0 = wf_reset(config, num_tasks,
+                      world_radius=float(params.world_radius))
+    step = jax.jit(wf_segment, static_argnames=("config", "first_iteration"))
+
+    # a full sample at max_bounces=3 takes 4 segments (birth + 3 bounces);
+    # run 5 so terminations have splatted
+    segs = 5
+    local_pixels = config.num_pixels // d
+    ref_films, ref_counters = [], []
+    for k in range(d):
+        st = _slice_state(state0, k, d)
+        base = jnp.int32(k * local_pixels)
+        for _ in range(segs):
+            st, cnt = step(scene, params, st, config, pixel_base=base)
+        ref_films.append(st.film)
+        ref_counters.append(cnt)
+
+    scene_r = replicate_scene(scene, mesh)
+    st = shard_wf_state(state0, mesh)
+    sstep = jax.jit(lambda sc, pr, s: wf_segment_sharded(sc, pr, s,
+                                                         config, mesh))
+    for _ in range(segs):
+        st, cnt = sstep(scene_r, params, st)
+
+    for ch in ("x", "y", "z"):
+        got = np.asarray(getattr(st.film.color, ch))
+        want = np.concatenate(
+            [np.asarray(getattr(f.color, ch)) for f in ref_films])
+        np.testing.assert_array_equal(got, want)
+    got_w = np.asarray(st.film.weight)
+    want_w = np.concatenate([np.asarray(f.weight) for f in ref_films])
+    np.testing.assert_array_equal(got_w, want_w)
+    assert got_w.sum() > 0
+    assert int(cnt.splatted) == sum(int(c.splatted) for c in ref_counters)
+    assert int(cnt.shadow) == sum(int(c.shadow) for c in ref_counters)

@@ -1,12 +1,26 @@
 #!/usr/bin/env python
-"""TPU parity check: supercluster trace kernel + streamed resolve (v4)
-vs the flat production kernels, on egyptcat (forced via FLT_SC_THRESHOLD=1)
-or the big 5x4 grid scene. Run on real TPU."""
+"""TPU parity checks for the large-scene traversal tier.
+
+Small scenes (egyptcat): supercluster trace kernel + streamed resolve (v4)
+vs the flat production kernels (forced via FLT_SC_THRESHOLD), exact match
+expected.
+
+Large scenes (the 5x4 egyptcat grid, ~320k tris): the flat kernel cannot
+run (its per-tile candidate machinery needs [n_tiles, n_clusters] VMEM
+scratch — the supercluster tier exists precisely because of that), so the
+independent reference is the pure-JAX bitstack BVH traversal
+(accel/traverse.py, the re-design of bvh.cl:12-230) on a sampled ray set,
+evaluated on CPU.
+
+Run on real TPU:  python tools/check_sc_parity.py [scene] [--big]
+"""
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
-scene_file = sys.argv[1] if len(sys.argv) > 1 else \
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+big = "--big" in sys.argv
+scene_file = args[0] if args else \
     "/root/reference/assets/egyptcat/egyptcat.obj"
 
 import jax, jax.numpy as jnp
@@ -23,10 +37,11 @@ t0 = time.time()
 m = mt.MXUScene.build(p, bvh, normals=nrm, uvs=uv, mat_ids=mid,
                       materials=sc.materials, atlas=sc.device_textures(),
                       slim=(len(p) > 65536))
-print("mxu build", time.time()-t0, "clusters", m.n_clusters, "supers", m.n_superclusters)
+print("mxu build", time.time()-t0, "clusters", m.n_clusters,
+      "supers", m.n_superclusters)
 
 rng = np.random.default_rng(0)
-n = 1 << 17
+n = 1 << 14 if big else 1 << 17
 lo = np.asarray(m.cluster_box)[:, 0:3].min(0)
 hi = np.asarray(m.cluster_box)[:, 3:6].max(0)
 ctr = np.asarray(m.center)
@@ -35,32 +50,91 @@ d = rng.normal(size=(n, 3)); d /= np.linalg.norm(d, axis=1, keepdims=True)
 orig = Vec3(*[jnp.asarray(o[:, k], jnp.float32) for k in range(3)])
 dirs = Vec3(*[jnp.asarray(d[:, k], jnp.float32) for k in range(3)])
 
-def run():
+
+def run_mxu():
     t, tri, u, v, col = mt.closest_hit_mxu_full(orig, dirs, m)
     t = np.asarray(t); tri = np.asarray(tri)
-    occ = np.asarray(mt.any_hit_mxu(orig, dirs, jnp.full(n, 1e30, jnp.float32), m))
-    row = np.asarray(mt.resolve_hits_mxu(orig, dirs, jnp.asarray(t), jnp.asarray(col), m))
+    occ = np.asarray(mt.any_hit_mxu(orig, dirs,
+                                    jnp.full(n, 1e30, jnp.float32), m))
+    row = np.asarray(mt.resolve_hits_mxu(orig, dirs, jnp.asarray(t),
+                                         jnp.asarray(col), m))
     return t, tri, occ, row, np.asarray(col)
 
-# flat (reference) config
-os.environ["FLT_SC_THRESHOLD"] = "999999"
-t1, tri1, occ1, row1, col1 = run()
-# forced supercluster + streamed resolve
-os.environ["FLT_SC_THRESHOLD"] = "1"; os.environ["FLT_RESOLVE_V"] = "4"
-t2, tri2, occ2, row2, col2 = run()
 
-hit1 = tri1 >= 0; hit2 = tri2 >= 0
-print("hits", hit1.sum(), hit2.sum(), "agree", (hit1 == hit2).mean())
-assert (hit1 == hit2).all()
-dt = np.abs(t1[hit1] - t2[hit1]) / np.maximum(np.abs(t1[hit1]), 1e-6)
-print("t rel err max", dt.max())
-assert dt.max() < 1e-4
-same_tri = (tri1 == tri2)
-print("same winner tri frac", same_tri[hit1].mean())
-assert same_tri[hit1].mean() > 0.999   # coplanar ties may differ
-print("any_hit agree", (occ1 == occ2).mean()); assert (occ1 == occ2).all()
-mask = same_tri & hit1
-dr = np.abs(row1[mask] - row2[mask]).max()
-print("resolve row max abs diff (same winners)", dr)
-assert dr < 2e-2
-print("PARITY OK")
+if big:
+    # supercluster + streamed resolve vs CPU bitstack on sampled rays
+    os.environ["FLT_RESOLVE_V"] = "4"
+    t0 = time.time()
+    t2, tri2, occ2, row2, col2 = run_mxu()
+    print("mxu trace+resolve (incl compile)", time.time() - t0)
+
+    from fluctus_tpu.accel.traverse import (BVHDevice, TrianglesDevice,
+                                            any_hit, closest_hit)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        trid = TrianglesDevice.from_arrays(p, nrm, uv, mid)
+        bvhd = BVHDevice.from_host(bvh)
+        oc = Vec3(*[jnp.asarray(o[:, k], jnp.float32) for k in range(3)])
+        dc = Vec3(*[jnp.asarray(d[:, k], jnp.float32) for k in range(3)])
+        t0 = time.time()
+        t1, tri1, u1, v1 = closest_hit(oc, dc, trid, bvhd)
+        occ1 = any_hit(oc, dc, jnp.full(n, 1e30, jnp.float32), trid, bvhd)
+        t1 = np.asarray(t1); tri1 = np.asarray(tri1)
+        occ1 = np.asarray(occ1)
+        print("cpu bitstack", time.time() - t0)
+
+    hit1 = tri1 >= 0; hit2 = tri2 >= 0
+    print("hits", hit1.sum(), hit2.sum(), "agree", (hit1 == hit2).mean())
+    assert (hit1 == hit2).mean() > 0.9995   # f32 raster-edge ties
+    both = hit1 & hit2
+    same_tri = tri1 == tri2
+    print("same winner tri frac", same_tri[both].mean())
+    assert same_tri[both].mean() > 0.995    # edge/coplanar ties may differ
+    sm = both & same_tri
+    dt = np.abs(t1[sm] - t2[sm]) / np.maximum(np.abs(t1[sm]), 1e-6)
+    print("t rel err (same winner): p50", np.percentile(dt, 50),
+          "p99", np.percentile(dt, 99), "max", dt.max())
+    # the affine-transform t vs world-space Moller-Trumbore t, both f32 at
+    # ~115-unit scene extent: tail divergence is conditioning, not logic —
+    # gate the distribution plus a loose max
+    assert np.percentile(dt, 99) < 2e-4 and dt.max() < 5e-3
+    # different winners must still be at ~the same depth (true ties)
+    db = both & ~same_tri
+    if db.any():
+        dtt = np.abs(t1[db] - t2[db]) / np.maximum(np.abs(t1[db]), 1e-6)
+        print("tie depth mismatch max", dtt.max())
+        assert dtt.max() < 3e-2
+    agree_occ = (occ1 == occ2).mean()
+    print("any_hit agree", agree_occ)
+    assert agree_occ > 0.9995
+    # resolve row self-consistency: interpolated normal is unit, t matches
+    mask = same_tri & both
+    tr = row2[mask, mt.ATTR_HITT]
+    dtr = np.abs(tr - t2[mask]) / np.maximum(np.abs(t2[mask]), 1e-6)
+    print("resolve t vs trace t rel err max", dtr.max())
+    assert dtr.max() < 1e-3
+    print("BIG-SCENE PARITY OK")
+else:
+    # flat (reference) config
+    os.environ["FLT_SC_THRESHOLD"] = "999999"
+    t1, tri1, occ1, row1, col1 = run_mxu()
+    # forced supercluster + streamed resolve
+    os.environ["FLT_SC_THRESHOLD"] = "1"
+    os.environ["FLT_RESOLVE_V"] = "4"
+    t2, tri2, occ2, row2, col2 = run_mxu()
+
+    hit1 = tri1 >= 0; hit2 = tri2 >= 0
+    print("hits", hit1.sum(), hit2.sum(), "agree", (hit1 == hit2).mean())
+    assert (hit1 == hit2).all()
+    dt = np.abs(t1[hit1] - t2[hit1]) / np.maximum(np.abs(t1[hit1]), 1e-6)
+    print("t rel err max", dt.max())
+    assert dt.max() < 1e-4
+    same_tri = (tri1 == tri2)
+    print("same winner tri frac", same_tri[hit1].mean())
+    assert same_tri[hit1].mean() > 0.999   # coplanar ties may differ
+    print("any_hit agree", (occ1 == occ2).mean()); assert (occ1 == occ2).all()
+    mask = same_tri & hit1
+    dr = np.abs(row1[mask] - row2[mask]).max()
+    print("resolve row max abs diff (same winners)", dr)
+    assert dr < 2e-2
+    print("PARITY OK")
