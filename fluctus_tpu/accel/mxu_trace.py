@@ -63,7 +63,7 @@ SC_THRESHOLD = int(_os_env.environ.get("FLT_SC_THRESHOLD", "96"))
 
 # bump when any table layout changes (ATTR_*/B16 columns, transform packing,
 # cluster/supercluster cut rules) — invalidates on-disk table caches
-TABLE_VERSION = 2
+TABLE_VERSION = 3
 
 # attrs column layout (keep in sync with resolve consumers in core/trace.py)
 ATTR_N = 0        # nx, ny, nz
@@ -341,6 +341,12 @@ class MXUScene:
     # bf16 resolve table [Mpad, 128] (B16 layout) — one single-pass MXU
     # one-hot product fetches transforms + all shading attributes
     attr_b16: Optional[jnp.ndarray] = None
+    # cluster-blocked TRANSPOSE of attr_b16 [n_clusters*128, tc] (cluster
+    # c's [128, tc] block at sublanes c*128..) — feeds the rays-on-lanes
+    # resolve v5, whose accumulator/output keep rays on LANES so the
+    # epilogue runs full-width rows and consumers slice [1, n] attribute
+    # rows instead of lane-strided columns
+    b16t: Optional[jnp.ndarray] = None
     # SUPERCLUSTER tier [n_sc, 8]: bmin3 bmax3 (centered) + first member
     # cluster id + member count (both f32-exact) — the coarse level that
     # keeps candidate-list generation O(n_sc) per tile instead of
@@ -527,9 +533,18 @@ class MXUScene:
         t12b.reshape(n_clusters, 16, cluster_size)[:, :12] = \
             t12.reshape(12, n_clusters, cluster_size).transpose(1, 0, 2)
 
+        # cluster-blocked transpose of the B16 table for the rays-on-lanes
+        # resolve v5 (cluster c's [128, tc] block at sublanes c*128..)
+        b16t = None
+        if attr_b16 is not None:
+            b16t = np.ascontiguousarray(
+                attr_b16.reshape(n_clusters, cluster_size, B16.COLS)
+                .transpose(0, 2, 1)
+                .reshape(n_clusters * B16.COLS, cluster_size))
+
         host = dict(
             sc_box=sc_box, sub_box=sub_box, attr_b16=attr_b16, attrs=attrs,
-            txy_t=txy_t, t12=t12, t12b=t12b,
+            b16t=b16t, txy_t=txy_t, t12=t12, t12b=t12b,
             tx=np.ascontiguousarray(t4[:, :, 0].T, np.float32),
             ty=np.ascontiguousarray(t4[:, :, 1].T, np.float32),
             tz=np.ascontiguousarray(t4[:, :, 2].T, np.float32),
@@ -551,7 +566,7 @@ class MXUScene:
                        else None)
         return MXUScene(
             sc_box=j("sc_box"), sub_box=j("sub_box"), attr_b16=j("attr_b16"),
-            attrs=j("attrs"), txy_t=j("txy_t"), t12=j("t12"),
+            attrs=j("attrs"), b16t=j("b16t"), txy_t=j("txy_t"), t12=j("t12"),
             t12b=j("t12b"),
             tx=j("tx"), ty=j("ty"), tz=j("tz"),
             cluster_box=j("cluster_box"), tri_map=j("tri_map"),
@@ -569,11 +584,12 @@ class MXUScene:
             z = np.load(cache_path, allow_pickle=False)
             host = {k: (None if z[k].ndim == 0 else z[k])
                     for k in ("sc_box", "sub_box", "attr_b16", "attrs",
-                              "txy_t", "t12", "t12b", "tx", "ty", "tz",
-                              "cluster_box", "tri_map", "center")}
-            if host["attr_b16"] is not None:
-                import ml_dtypes
-                host["attr_b16"] = host["attr_b16"].view(ml_dtypes.bfloat16)
+                              "b16t", "txy_t", "t12", "t12b", "tx", "ty",
+                              "tz", "cluster_box", "tri_map", "center")}
+            import ml_dtypes
+            for k in ("attr_b16", "b16t"):
+                if host[k] is not None:
+                    host[k] = host[k].view(ml_dtypes.bfloat16)
             statics = dict(
                 n_clusters=int(z["n_clusters"]),
                 cluster_size=int(z["cluster_size"]),
@@ -584,7 +600,8 @@ class MXUScene:
         if cache_path:
             _os_env.makedirs(_os_env.path.dirname(cache_path), exist_ok=True)
             out = {k: (np.zeros(()) if v is None else
-                       (v.view(np.uint16) if k == "attr_b16" else v))
+                       (v.view(np.uint16) if k in ("attr_b16", "b16t")
+                        else v))
                    for k, v in host.items()}
             out.update(statics)
             tmp = cache_path + ".tmp.npz"   # .npz suffix: savez won't append
@@ -1557,7 +1574,7 @@ ROL_TILE = int(_os.environ.get("FLT_ROL_TILE", "512"))
 
 
 ROL_V = _os.environ.get("FLT_ROL_V", "1")
-RESOLVE_V = _os.environ.get("FLT_RESOLVE_V", "3")
+RESOLVE_V = _os.environ.get("FLT_RESOLVE_V", "5")
 
 
 def _dispatch_trace(o4, d4, tmax_col, scene, any_hit, ray_tile, interpret):
@@ -1994,14 +2011,21 @@ def _resolve_v2(col, o4, d4, txy, attrs, scene_static, ray_tile, interpret):
     )(col, o4, d4, order, txy, attrs)
 
 
-def _resolve_kernel_v3(col_ref, o_ref, d_ref, tbl_ref, txy_ref, out_ref,
+def _resolve_kernel_v5(colr_ref, rays_ref, tbl_ref, txy_ref, out_ref,
                        acc_ref, txyacc_ref, *, rt, tc):
-    """Winner-attribute resolve, v3: per winner cluster ONE single-pass
-    bf16 one-hot product fetches the whole 128-lane B16 row (transforms +
-    attributes; every entry bf16-exact by construction — see B16), then
-    the epilogue reconstructs values and barycentrically interpolates the
-    per-vertex floats at full f32 precision. ~6x less MXU work than the
-    v2 HIGHEST-precision [rt,3tc]x[3tc,40] products.
+    """Winner-attribute resolve, v5 (rays on LANES): per winner cluster ONE
+    single-pass bf16 one-hot product fetches the whole 128-row B16 block
+    (transforms + attributes; every entry bf16-exact by construction — see
+    B16) as acc[128, rt], then the epilogue reconstructs values and
+    barycentrically interpolates the per-vertex floats at full f32
+    precision, all on full-width [w, rt] rows.
+
+    vs the retired rays-on-sublanes v3: the [rt, 1] column ops that wasted
+    127/128 lanes become [1, rt] rows, and the OUTPUT is the SoA
+    [ATTR_COLS, n] matrix whose per-attribute consumers slice contiguous
+    rows — the row-major [n, 40] layout forced a ~31 ms/segment
+    lane-strided column-extraction fusion downstream (and tiles with
+    4-lane-wide narrow arrays throughout).
 
     The tile's distinct winner clusters are discovered IN-KERNEL by an
     ascending min-scan over the rays' winner ids — no precomputed winner
@@ -2013,11 +2037,10 @@ def _resolve_kernel_v3(col_ref, o_ref, d_ref, tbl_ref, txy_ref, out_ref,
     lose ~2^-16 of the pre-cancellation magnitude, which at
     conference-scale scene extents (~115 units) grew to percent-level t
     error."""
-    acc_ref[:] = jnp.zeros((rt, B16.COLS), jnp.float32)
-    txyacc_ref[:] = jnp.zeros((rt, 16), jnp.float32)
-    col = col_ref[:]                      # [rt,1] padded winner column
-    O = o_ref[:]
-    D = d_ref[:]
+    acc_ref[:] = jnp.zeros((B16.COLS, rt), jnp.float32)
+    txyacc_ref[:] = jnp.zeros((16, rt), jnp.float32)
+    col = colr_ref[0]                     # [1, rt] padded winner column
+    R = rays_ref[0]                       # [8, rt]: ox oy oz 1 dx dy dz 0
     ccl = jnp.where(col >= 0, col // tc, jnp.int32(0x7FFFFFFF))
 
     def cond(carry):
@@ -2027,44 +2050,44 @@ def _resolve_kernel_v3(col_ref, o_ref, d_ref, tbl_ref, txy_ref, out_ref,
 
     def body(carry):
         prev = carry
-        # each hit ray's one-hot row is nonzero in exactly ONE visit (its
-        # winner cluster), so the raw fetched rows simply ACCUMULATE; the
-        # whole reconstruction epilogue runs once per tile, after the loop
+        # each hit ray's one-hot column is nonzero in exactly ONE visit
+        # (its winner cluster), so the raw fetched rows simply ACCUMULATE;
+        # the whole reconstruction epilogue runs once per tile
         c = jnp.min(jnp.where(ccl > prev, ccl, jnp.int32(0x7FFFFFFF)))
         local = col - c * tc
         active = (local >= 0) & (local < tc)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (rt, tc), 1)
-        ohb = (lane == local) & active
-        onehot = ohb.astype(jnp.bfloat16)
-        off = pl.multiple_of(c * tc, 128)
+        tri = jax.lax.broadcasted_iota(jnp.int32, (tc, rt), 0)
+        ohb = (tri == local) & active                     # [tc, rt]
+        oht = ohb.astype(jnp.bfloat16)
+        off = pl.multiple_of(c * B16.COLS, 128)
         acc_ref[:] = acc_ref[:] + jnp.dot(
-            onehot, tbl_ref[pl.ds(off, tc), :],
-            preferred_element_type=jnp.float32)           # [rt, 128]
+            tbl_ref[pl.ds(off, B16.COLS), :], oht,
+            preferred_element_type=jnp.float32)           # [128, rt]
         blk = txy_ref[pl.ds(pl.multiple_of(c * 16, 16), 16), :]  # [16, tc]
         txyacc_ref[:] = txyacc_ref[:] + jax.lax.dot_general(
-            ohb.astype(jnp.float32), blk,
-            (((1,), (1,)), ((), ())), precision=HIGHEST)  # [rt, 16] exact
+            blk, ohb.astype(jnp.float32),
+            (((1,), (0,)), ((), ())), precision=HIGHEST)  # [16, rt] exact
         return c
 
     jax.lax.while_loop(cond, body, jnp.int32(-1))
-    out_ref[:] = _b16_epilogue(acc_ref[:], col, O, D, rt,
-                               txyacc_ref[:, :12])
+    out_ref[:] = _b16_epilogue_t(acc_ref[:], col, R[0:4], R[4:8], rt,
+                                 txyacc_ref[0:12])
 
 
-def _b16_epilogue(row, col, O, D, rt, txy):
-    """Reconstruct the f32 ATTR row from the accumulated B16 fetch: hi+lo
-    float sums, 8-bit chunk recombination, exact t/u/v from the winner's
-    f32 transform row (txy), barycentric interpolation of the per-vertex
-    floats. Runs ONCE per tile (deferred out of the per-cluster loop)."""
-    active = col >= 0
-    g = lambda a, w: row[:, a:a + w]
-    oz = jnp.sum(O * txy[:, 8:12], axis=1, keepdims=True)
-    dz = jnp.sum(D * txy[:, 8:12], axis=1, keepdims=True)
+def _b16_epilogue_t(acc, col, O, D, rt, txy):
+    """Reconstruct the f32 SoA ATTR rows from the accumulated B16 fetch:
+    hi+lo float sums, 8-bit chunk recombination, exact t/u/v from the
+    winner's f32 transform rows (txy [12, rt]), barycentric interpolation
+    of the per-vertex floats. Runs ONCE per tile on full-width rows."""
+    active = col >= 0                                  # [1, rt]
+    g = lambda a, w: acc[a:a + w, :]
+    oz = jnp.sum(O * txy[8:12], axis=0, keepdims=True)
+    dz = jnp.sum(D * txy[8:12], axis=0, keepdims=True)
     t = -oz / jnp.where(dz == 0.0, 1.0, dz)
-    ox = jnp.sum(O * txy[:, 0:4], axis=1, keepdims=True)
-    dx = jnp.sum(D * txy[:, 0:4], axis=1, keepdims=True)
-    oy = jnp.sum(O * txy[:, 4:8], axis=1, keepdims=True)
-    dy = jnp.sum(D * txy[:, 4:8], axis=1, keepdims=True)
+    ox = jnp.sum(O * txy[0:4], axis=0, keepdims=True)
+    dx = jnp.sum(D * txy[0:4], axis=0, keepdims=True)
+    oy = jnp.sum(O * txy[4:8], axis=0, keepdims=True)
+    dy = jnp.sum(D * txy[4:8], axis=0, keepdims=True)
     u = ox + t * dx
     v = oy + t * dy
 
@@ -2072,10 +2095,10 @@ def _b16_epilogue(row, col, O, D, rt, txy):
     v0 = g(B16.V0_HI, 5) + g(B16.V0_LO, 5)
     v1 = g(B16.V1_HI, 5) + g(B16.V1_LO, 5)
     v2 = g(B16.V2_HI, 5) + g(B16.V2_LO, 5)
-    vert = (1.0 - u - v) * v0 + u * v1 + v * v2   # [rt, 5] N3+UV2
+    vert = (1.0 - u - v) * v0 + u * v1 + v * v2   # [5, rt] N3+UV2
 
-    c2 = lambda a: row[:, a:a + 1] + row[:, a + 1:a + 2] * 256.0
-    c3 = lambda a: c2(a) + row[:, a + 2:a + 3] * 65536.0
+    c2 = lambda a: acc[a:a + 1, :] + acc[a + 1:a + 2, :] * 256.0
+    c3 = lambda a: c2(a) + acc[a + 2:a + 3, :] * 65536.0
     am = active.astype(jnp.float32)
     wh = lambda cw, chh: c2(cw) * 4096.0 + c2(chh)
     res = jnp.concatenate([
@@ -2091,53 +2114,66 @@ def _b16_epilogue(row, col, O, D, rt, txy):
         wh(B16.TKD_W, B16.TKD_H), c3(B16.TKD_OFF),  # 29-30
         wh(B16.TKS_W, B16.TKS_H), c3(B16.TKS_OFF),  # 31-32
         wh(B16.TN_W, B16.TN_H), c3(B16.TN_OFF),     # 33-34
-        jnp.zeros((rt, ATTR_COLS - 35), jnp.float32),
-    ], axis=1)
+        jnp.zeros((ATTR_COLS - 35, rt), jnp.float32),
+    ], axis=0)
     return res * am
 
 
+def _resolve_rays(col, o4, d4, rt):
+    """Pack resolve inputs rays-on-lanes: ([nt,1,rt] winner cols,
+    [nt,8,rt] rays)."""
+    b = col.shape[0]
+    nt = b // rt
+    rays = jnp.stack([o4[:, 0], o4[:, 1], o4[:, 2], o4[:, 3],
+                      d4[:, 0], d4[:, 1], d4[:, 2], d4[:, 3]], axis=0)
+    rays = rays.reshape(8, nt, rt).transpose(1, 0, 2)     # [nt, 8, rt]
+    colr = col.reshape(nt, 1, rt)
+    return colr, rays
+
+
 @partial(jax.jit, static_argnames=("scene_static", "ray_tile", "interpret"))
-def _resolve_v3(col, o4, d4, tbl, t12b, scene_static, ray_tile, interpret):
+def _resolve_v5(col, o4, d4, tbl_t, t12b, scene_static, ray_tile, interpret):
     n_clusters, tc = scene_static
     rt = ray_tile
     b = col.shape[0]
-    kernel = partial(_resolve_kernel_v3, rt=rt, tc=tc)
+    colr, rays = _resolve_rays(col, o4, d4, rt)
+    kernel = partial(_resolve_kernel_v5, rt=rt, tc=tc)
     return pl.pallas_call(
         kernel,
         grid=(b // rt,),
         in_specs=[
-            pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rt, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rt, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bf16 table resident
             pl.BlockSpec(memory_space=pltpu.VMEM),   # f32 blocked transforms
         ],
-        out_specs=pl.BlockSpec((rt, ATTR_COLS), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((ATTR_COLS, rt), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, ATTR_COLS), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((rt, B16.COLS), jnp.float32),
-                        pltpu.VMEM((rt, 16), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((ATTR_COLS, b), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B16.COLS, rt), jnp.float32),
+                        pltpu.VMEM((16, rt), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_RESOLVE_V2_VMEM_BYTES + (40 << 20)),
         interpret=interpret,
-    )(col, o4, d4, tbl, t12b)
+    )(colr, rays, tbl_t, t12b)
 
 
-def _resolve_kernel_v4(col_ref, o_ref, d_ref, tbl_ref, txy_ref, out_ref,
-                       acc_ref, txyacc_ref, buf_ref, buf2_ref, sem_ref,
-                       sem2_ref, *, rt, tc):
-    """Winner-attribute resolve, v4: the B16 table stays in HBM; each
-    winner cluster's [tc, 128] bf16 block (64 KB) is DMA'd into a
-    double-buffered VMEM scratch while the previous block's one-hot
-    product runs. Removes the resolve path's VMEM ceiling entirely —
-    at conference scale (320k tris) the table is ~120 MB and streaming
-    ~5 winner blocks per tile costs ~0.3 MB of traffic instead.
-    Winner discovery is the same in-kernel ascending min-scan as v3."""
-    acc_ref[:] = jnp.zeros((rt, B16.COLS), jnp.float32)
-    txyacc_ref[:] = jnp.zeros((rt, 16), jnp.float32)
-    col = col_ref[:]                      # [rt,1] padded winner column
-    O = o_ref[:]
-    D = d_ref[:]
+def _resolve_kernel_v5s(colr_ref, rays_ref, tbl_ref, txy_ref, out_ref,
+                        acc_ref, txyacc_ref, buf_ref, buf2_ref, sem_ref,
+                        sem2_ref, *, rt, tc):
+    """Winner-attribute resolve, v5 streamed: the transposed B16 table
+    stays in HBM; each winner cluster's [128, tc] bf16 block (64 KB) is
+    DMA'd into a double-buffered VMEM scratch while the previous block's
+    one-hot product runs. Removes the resolve path's VMEM ceiling
+    entirely — at conference scale (320k tris) the table is ~120 MB and
+    streaming ~5 winner blocks per tile costs ~0.3 MB of traffic instead.
+    Winner discovery is the same in-kernel ascending min-scan as v5."""
+    acc_ref[:] = jnp.zeros((B16.COLS, rt), jnp.float32)
+    txyacc_ref[:] = jnp.zeros((16, rt), jnp.float32)
+    col = colr_ref[0]                     # [1, rt] padded winner column
+    R = rays_ref[0]
     ccl = jnp.where(col >= 0, col // tc, jnp.int32(0x7FFFFFFF))
     NONE = jnp.int32(0x7FFFFFFF)
 
@@ -2146,7 +2182,7 @@ def _resolve_kernel_v4(col_ref, o_ref, d_ref, tbl_ref, txy_ref, out_ref,
 
     def start_dma(c, slot):
         pltpu.make_async_copy(
-            tbl_ref.at[pl.ds(c * tc, tc), :],
+            tbl_ref.at[pl.ds(c * B16.COLS, B16.COLS), :],
             buf_ref.at[slot], sem_ref.at[slot]).start()
         pltpu.make_async_copy(
             txy_ref.at[pl.ds(c * 16, 16), :],
@@ -2154,7 +2190,7 @@ def _resolve_kernel_v4(col_ref, o_ref, d_ref, tbl_ref, txy_ref, out_ref,
 
     def wait_dma(c, slot):
         pltpu.make_async_copy(
-            tbl_ref.at[pl.ds(c * tc, tc), :],
+            tbl_ref.at[pl.ds(c * B16.COLS, B16.COLS), :],
             buf_ref.at[slot], sem_ref.at[slot]).wait()
         pltpu.make_async_copy(
             txy_ref.at[pl.ds(c * 16, 16), :],
@@ -2180,46 +2216,49 @@ def _resolve_kernel_v4(col_ref, o_ref, d_ref, tbl_ref, txy_ref, out_ref,
             wait_dma(c, slot)
             local = col - c * tc
             active = (local >= 0) & (local < tc)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (rt, tc), 1)
-            ohb = (lane == local) & active
-            onehot = ohb.astype(jnp.bfloat16)
+            tri = jax.lax.broadcasted_iota(jnp.int32, (tc, rt), 0)
+            ohb = (tri == local) & active
+            oht = ohb.astype(jnp.bfloat16)
             acc_ref[:] = acc_ref[:] + jnp.dot(
-                onehot, buf_ref[slot],
-                preferred_element_type=jnp.float32)       # [rt, 128]
+                buf_ref[slot], oht,
+                preferred_element_type=jnp.float32)       # [128, rt]
             txyacc_ref[:] = txyacc_ref[:] + jax.lax.dot_general(
-                ohb.astype(jnp.float32), buf2_ref[slot],
-                (((1,), (1,)), ((), ())), precision=HIGHEST)  # [rt, 16]
+                buf2_ref[slot], ohb.astype(jnp.float32),
+                (((1,), (0,)), ((), ())), precision=HIGHEST)  # [16, rt]
             return nxt, 1 - slot
 
         jax.lax.while_loop(cond, body, (c0, jnp.int32(0)))
 
-    out_ref[:] = _b16_epilogue(acc_ref[:], col, O, D, rt,
-                               txyacc_ref[:, :12])
+    out_ref[:] = _b16_epilogue_t(acc_ref[:], col, R[0:4], R[4:8], rt,
+                                 txyacc_ref[0:12])
 
 
 @partial(jax.jit, static_argnames=("scene_static", "ray_tile", "interpret"))
-def _resolve_v4(col, o4, d4, tbl, txy_t, scene_static, ray_tile, interpret):
+def _resolve_v5s(col, o4, d4, tbl_t, t12b, scene_static, ray_tile,
+                 interpret):
     n_clusters, tc = scene_static
     rt = ray_tile
     b = col.shape[0]
-    kernel = partial(_resolve_kernel_v4, rt=rt, tc=tc)
+    colr, rays = _resolve_rays(col, o4, d4, rt)
+    kernel = partial(_resolve_kernel_v5s, rt=rt, tc=tc)
     return pl.pallas_call(
         kernel,
         grid=(b // rt,),
         in_specs=[
-            pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rt, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rt, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),    # bf16 table in HBM
             pl.BlockSpec(memory_space=pltpu.ANY),    # f32 transforms in HBM
         ],
-        out_specs=pl.BlockSpec((rt, ATTR_COLS), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((ATTR_COLS, rt), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, ATTR_COLS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ATTR_COLS, b), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((rt, B16.COLS), jnp.float32),
-            pltpu.VMEM((rt, 16), jnp.float32),
-            pltpu.VMEM((2, tc, B16.COLS), jnp.bfloat16),
+            pltpu.VMEM((B16.COLS, rt), jnp.float32),
+            pltpu.VMEM((16, rt), jnp.float32),
+            pltpu.VMEM((2, B16.COLS, tc), jnp.bfloat16),
             pltpu.VMEM((2, 16, tc), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -2227,7 +2266,7 @@ def _resolve_v4(col, o4, d4, tbl, txy_t, scene_static, ray_tile, interpret):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 << 20),
         interpret=interpret,
-    )(col, o4, d4, tbl, txy_t)
+    )(colr, rays, tbl_t, t12b)
 
 
 # resident-table resolve needs txy+attrs in VMEM (~128 MB/chip); beyond
@@ -2238,38 +2277,40 @@ _RESOLVE_V2_VMEM_BYTES = 48 * (1 << 20)
 def resolve_hits_mxu(orig: Vec3, d: Vec3, t, col, scene: MXUScene,
                      ray_tile: int = None, interpret: bool = False):
     ray_tile = ray_tile or RAY_TILE
-    """Per-ray winner attribute row [n, ATTR_COLS] (see ATTR_* constants),
-    including exact barycentric u, v (ATTR_HITU/ATTR_HITV).
-    col: padded winner column (-1 = miss -> zero row)."""
+    """Per-ray winner attributes as the SoA matrix [ATTR_COLS, n] (see
+    ATTR_* ROW constants), including exact barycentric u, v
+    (ATTR_HITU/ATTR_HITV). col: padded winner column (-1 = miss -> zero
+    row). Channel-major so consumers slice contiguous [n] rows — TPU
+    tiling pads narrow [n, 40] row-matrices to 128 lanes and their column
+    extraction fused into a ~31 ms/segment relayout."""
     n = col.shape[0]
     o4, d4, _ = _ray_inputs(orig, d, scene, None, ray_tile)
     col2, _ = _pad_rays(col.reshape(n, 1), ray_tile)
     resolve_v = _os.environ.get("FLT_RESOLVE_V", RESOLVE_V)
-    if not interpret and scene.attr_b16 is not None and resolve_v in ("3",
-                                                                      "4"):
-        table_b = scene.attr_b16.size * 2 + scene.t12b.size * 4
-        if resolve_v == "3" and table_b <= _RESOLVE_V2_VMEM_BYTES:
-            out = _resolve_v3(col2, o4, d4, scene.attr_b16, scene.t12b,
+    if not interpret and scene.b16t is not None and resolve_v == "5":
+        table_b = scene.b16t.size * 2 + scene.t12b.size * 4
+        if table_b <= _RESOLVE_V2_VMEM_BYTES:
+            out = _resolve_v5(col2, o4, d4, scene.b16t, scene.t12b,
                               (scene.n_clusters, scene.cluster_size),
                               ray_tile, interpret)
         else:
             # table exceeds the resident budget -> HBM-streamed variant
-            out = _resolve_v4(col2, o4, d4, scene.attr_b16, scene.t12b,
-                              (scene.n_clusters, scene.cluster_size),
-                              ray_tile, interpret)
-        return out[:n]
+            out = _resolve_v5s(col2, o4, d4, scene.b16t, scene.t12b,
+                               (scene.n_clusters, scene.cluster_size),
+                               ray_tile, interpret)
+        return out[:, :n]
     assert scene.attrs is not None, \
-        "slim MXUScene requires the B16 resolve path (FLT_RESOLVE_V=3)"
+        "slim MXUScene requires the B16 resolve path (FLT_RESOLVE_V=5)"
     table_bytes = (scene.attrs.size + scene.txy_t.size) * 4
     if not interpret and table_bytes <= _RESOLVE_V2_VMEM_BYTES:
         out = _resolve_v2(col2, o4, d4, scene.txy_t, scene.attrs,
                           (scene.n_clusters, scene.cluster_size), ray_tile,
                           interpret)
-        return out[:n]
+        return out[:n].T
     t2, _ = _pad_rays(t.reshape(n, 1), ray_tile)
     out = _resolve(col2, t2, o4, d4, scene.txy_t, scene.attrs,
                    (scene.n_clusters, scene.cluster_size), ray_tile, interpret)
-    return out[:n]
+    return out[:n].T
 
 
 def any_hit_mxu(orig: Vec3, d: Vec3, t_max, scene: MXUScene,

@@ -6,10 +6,25 @@ Design: the path pool is partitioned into ``G`` groups of ``S`` lanes; each
 group owns one contiguous range of ``P`` true pixels (padded to ``Pk``, a
 lane multiple). A lane only ever carries paths for its group's pixels
 (per-group raygen rings, integrator_wf), so a segment's splats from group
-``g`` land inside film block ``g`` — a [Pk, S] one-hot times [S, C] data
-matmul with f32-exact HIGHEST precision accumulates them densely. The
-2M-segment scatter this replaces measured ~42 ms/segment at 1080p; the
-dense kernel is bounded by one film read+write (~0.1 ms class).
+``g`` land inside film block ``g`` — accumulated densely by a one-hot
+matmul per group. The 2M-segment film scatter this replaces measured
+~42 ms/segment at 1080p.
+
+Everything here is CHANNEL-MAJOR: data [C, n], film [C, G*Pk]. TPU tiling
+pads the minor dimension to 128 lanes, so the row-major [n, 4] layout
+moved ~32x its bytes and its N=4 matmul lit 4 of 128 MXU lanes; the
+transposed product dot(data[C,S], onehot[S,Pk]) instead runs N=Pk full
+lanes with only the C->8 sublane pad (~16x fewer MAC slots). The one-hot
+is built [S, Pk] straight from a lanes-on-sublanes view of `local`
+(transposed once per segment outside the kernel), so no in-kernel
+relayouts. Each kernel instance handles GB groups (a static unrolled
+loop) to amortize grid overhead while keeping temporaries ~[S, Pk].
+
+MXU cost control: the one-hot factor is bf16-exact (0/1), so the product
+runs as TWO bf16 passes over hi/lo bf16 splits of the data (f32
+accumulator) instead of precision=HIGHEST's six — ~4e-6 relative error on
+radiance (far below render noise) and EXACT on the weight channel (splat
+weights are 1.0).
 
 The exact-spp cap (CHECK_SPP, wf_logic.cl:76-84 / mk_splat.cl:21-34) is
 enforced in-kernel WITHOUT a prefix scan (Mosaic has no cumsum): when a
@@ -22,7 +37,7 @@ is unchanged in practice.
 
 Pixel-space conventions (shared with integrator_wf):
   group g owns true pixels [g*P, g*P + len_g), len_g = min(P, num - g*P)
-  padded pid = g*Pk + local;  true pid = g*Pk_to_true(padded)
+  padded pid = g*Pk + local;  true pid computed via unpad_pixels
   film/spp arrays are padded to [G*Pk]; only the leading len_g entries of
   each block are live.
 """
@@ -36,17 +51,27 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-HIGHEST = jax.lax.Precision.HIGHEST
+# groups per kernel instance (static unrolled loop; bounds VMEM blocks and
+# amortizes per-instance grid overhead; must be a lane multiple — Mosaic
+# block shapes need the last dim % 128 or == the array dim)
+GB = 128
 
 
 def plan(num_pixels: int, num_tasks: int, groups: int):
-    """Static geometry: (S lanes/group, P true pixels/group, Pk padded)."""
+    """Static geometry: (S lanes/group, P true pixels/group, Pk padded).
+
+    P = ceil(pixels/groups), so a short (or even empty) TAIL of groups is
+    possible when groups doesn't divide the pixel count; integrator_wf
+    clamps their ring length to >= 1 — an empty group's lanes render a
+    ring of one out-of-range pixel whose splats land in padded film rows
+    that unpad_pixels drops (a fraction of a percent of lanes wasted,
+    which buys pixel-count-independent group choices)."""
     if num_tasks % groups:
         raise ValueError(f"num_tasks {num_tasks} % groups {groups} != 0")
+    if groups > num_pixels:
+        raise ValueError(f"groups {groups} > {num_pixels} pixels")
     s = num_tasks // groups
     p = -(-num_pixels // groups)          # ceil
-    if (groups - 1) * p >= num_pixels:
-        raise ValueError(f"groups {groups} too large for {num_pixels} pixels")
     pk = -(-p // 128) * 128
     return s, p, pk
 
@@ -55,73 +80,108 @@ def plan(num_pixels: int, num_tasks: int, groups: int):
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _splat_kernel(loc_ref, dat_ref, film_ref, out_ref, *, s, pk, c):
-    """out[Pk,C] = film + onehot(local)[Pk,S] @ data[S,C]. local -1 = none."""
-    local = loc_ref[0]                                     # [1, S]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (pk, s), 0)
-    oh = (rows == local).astype(jnp.float32)               # [Pk, S]
-    out_ref[:] = film_ref[:] + jax.lax.dot_general(
-        oh, dat_ref[:], (((1,), (0,)), ((), ())), precision=HIGHEST)
+def _dot2(a, oht):
+    """a [C,S] f32 @ onehot [S,Pk] bf16 with f32-exact products in TWO
+    bf16 MXU passes (hi/lo split of `a`; the 0/1 factor is bf16-exact and
+    the MXU accumulates in f32 — residual ~2^-17 relative from rounding
+    the lo half)."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dims = (((1,), (0,)), ((), ()))
+    return (jax.lax.dot_general(hi, oht, dims,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(lo, oht, dims,
+                                  preferred_element_type=jnp.float32))
 
 
-def _splat_kernel_capped(loc_ref, dat_ref, rem_ref, film_ref, out_ref,
-                         *, s, pk, c):
+def _splat_kernel(loct_ref, dat_ref, film_ref, out_ref, *, s, pk, c, gb):
+    """out[C, GB*Pk] = film + Σ_j dot(data_j [C,S], onehot_j [S,Pk]).
+    loct_ref [S, GB]: group j's lane-local pixel ids on sublanes (-1 =
+    no splat)."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (s, pk), 1)
+    out_ref[:] = film_ref[:]
+    for j in range(gb):
+        col = loct_ref[:, j:j + 1]                       # [S, 1]
+        oht = (col == lanes).astype(jnp.bfloat16)        # [S, Pk]
+        acc = _dot2(dat_ref[:, j * s:(j + 1) * s], oht)  # [C, Pk]
+        out_ref[:, j * pk:(j + 1) * pk] += acc
+
+
+def _splat_kernel_capped(loct_ref, dat_ref, rem_ref, film_ref, out_ref,
+                         *, s, pk, c, gb):
     """Capped splat: per pixel, admit every candidate when the count fits
     the remaining budget, else only the lowest-lane one (exact CHECK_SPP,
     no prefix scan — see module docstring)."""
-    local = loc_ref[0]                                     # [1, S]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (pk, s), 0)
-    ohb = rows == local
-    oh = ohb.astype(jnp.float32)
-    cnt = jnp.sum(oh, axis=1, keepdims=True)               # [Pk, 1]
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (pk, s), 1)
-    min_lane = jnp.min(jnp.where(ohb, lanes, s), axis=1,
-                       keepdims=True)                      # [Pk, 1]
-    rem = rem_ref[:]                                       # [Pk, 1]
-    # f32 arithmetic select — Mosaic cannot lower vector<i1> selects
-    fits = (cnt <= rem).astype(jnp.float32)                # [Pk, 1]
-    has = (rem >= 1.0).astype(jnp.float32)                 # [Pk, 1]
-    first = (ohb & (lanes == min_lane)).astype(jnp.float32)
-    oh = oh * fits + first * (1.0 - fits) * has
-    out_ref[:] = film_ref[:] + jax.lax.dot_general(
-        oh, dat_ref[:], (((1,), (0,)), ((), ())), precision=HIGHEST)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (s, pk), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (s, pk), 0)
+    out_ref[:] = film_ref[:]
+    for j in range(gb):
+        col = loct_ref[:, j:j + 1]                       # [S, 1]
+        ohb = col == lanes                               # [S, Pk]
+        oh = ohb.astype(jnp.float32)
+        cnt = jnp.sum(oh, axis=0, keepdims=True)         # [1, Pk] exact f32
+        min_row = jnp.min(jnp.where(ohb, rows, s), axis=0,
+                          keepdims=True)                 # [1, Pk]
+        rem = rem_ref[:, j * pk:(j + 1) * pk]            # [1, Pk]
+        # bf16 arithmetic select (all masks 0/1, every product bf16-exact)
+        # — Mosaic cannot lower vector<i1> selects
+        fits = (cnt <= rem).astype(jnp.bfloat16)
+        has = (rem >= 1.0).astype(jnp.bfloat16)
+        first = (ohb & (rows == min_row)).astype(jnp.bfloat16)
+        ohm = ohb.astype(jnp.bfloat16) * fits \
+            + first * (1.0 - fits) * has                 # [S, Pk]
+        acc = _dot2(dat_ref[:, j * s:(j + 1) * s], ohm)
+        out_ref[:, j * pk:(j + 1) * pk] += acc
 
 
-def _fetch_kernel(loc_ref, tbl_ref, out_ref, *, s, pk):
-    """Per-lane dense fetch of a per-pixel table column (spp counts):
-    out[1,S] = tbl[local[s]] — the gather-free pix_spp read."""
-    local = loc_ref[0]                                     # [1, S]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (pk, s), 0)
-    oh = (rows == local).astype(jnp.float32)
-    out_ref[0] = jnp.sum(oh * tbl_ref[:], axis=0, keepdims=True)
+def _fetch_kernel(loct_ref, tbl_ref, out_ref, *, s, pk, gb):
+    """Per-lane dense read of a per-pixel row table (spp counts):
+    out[S, GB] col j = tbl[0, j*Pk + local] — the gather-free pix_spp
+    read, via a broadcast compare-select-reduce per group."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (s, pk), 1)
+    for j in range(gb):
+        col = loct_ref[:, j:j + 1]                       # [S, 1]
+        ohb = col == lanes                               # [S, Pk]
+        tbl = tbl_ref[:, j * pk:(j + 1) * pk]            # [1, Pk]
+        val = jnp.sum(jnp.where(ohb, tbl, 0.0), axis=1,
+                      keepdims=True)                     # [S, 1]
+        out_ref[:, j:j + 1] = val
 
 
 # ---------------------------------------------------------------------------
 # Dispatch
 # ---------------------------------------------------------------------------
 
+def _loct(local, g, s):
+    """[n] lane-order pixel ids -> [S, G] (lanes on sublanes, groups on
+    lanes) — ONE device transpose per segment feeds every kernel's
+    broadcast-compare one-hot with zero in-kernel relayouts."""
+    return local.reshape(g, s).T
+
+
 @partial(jax.jit, static_argnames=("groups", "interpret"))
 def splat(local, data, film, groups: int, remaining=None,
           interpret: bool = False):
-    """Accumulate splat records into the padded film.
+    """Accumulate splat records into the padded channel-major film.
 
     local: [n] int32 — pixel index within the lane's group block
            (0..Pk), -1 = no splat this segment.
-    data:  [n, C] f32 — rgbw (+feature) channels, pre-masked.
-    film:  [G*Pk, C] f32 padded accumulator.
-    remaining: optional [G*Pk, 1] f32 per-pixel budget; when given, each
-           pixel admits at most that many splats (lane order), exactly.
-    """
+    data:  [C, n] f32 — rgbw (+feature) channels, pre-masked.
+    film:  [C, G*Pk] f32 padded accumulator.
+    remaining: optional [1, G*Pk] f32 per-pixel budget; when given, each
+           pixel admits at most that many splats, exactly.
+    Returns the new [C, G*Pk] film."""
     g = groups
-    n, c = data.shape
+    c, n = data.shape
     s = n // g
-    pk = film.shape[0] // g
+    pk = film.shape[1] // g
     if interpret:
         # reference path (CPU tests): same admission semantics via
         # segment reductions on padded ids
         pid = jnp.where(local >= 0,
                         (jnp.arange(n, dtype=jnp.int32) // s) * pk + local,
                         g * pk)
+        datan = data.T                                    # [n, C]
         if remaining is not None:
             lane = jnp.arange(n, dtype=jnp.int32)
             one = (local >= 0).astype(jnp.float32)
@@ -129,70 +189,66 @@ def splat(local, data, film, groups: int, remaining=None,
             min_lane = jax.ops.segment_min(
                 jnp.where(local >= 0, lane, n), pid,
                 num_segments=g * pk + 1)
-            rem = jnp.take(remaining[:, 0], jnp.minimum(pid, g * pk - 1))
+            rem = jnp.take(remaining[0], jnp.minimum(pid, g * pk - 1))
             fits = jnp.take(cnt, pid) <= rem
             first = lane == jnp.take(min_lane, pid)
             ok = (local >= 0) & jnp.where(fits, True,
                                           first & (rem >= 1.0))
             pid = jnp.where(ok, pid, g * pk)
-            data = data * ok[:, None].astype(jnp.float32)
-        acc = jax.ops.segment_sum(data, pid, num_segments=g * pk + 1)[:-1]
-        return film + acc
+            datan = datan * ok[:, None].astype(jnp.float32)
+        acc = jax.ops.segment_sum(datan, pid, num_segments=g * pk + 1)[:-1]
+        return film + acc.T
 
-    # lane arrays ride as [g, 1, s] so the (1, s) block equals the
-    # trailing array dims (Mosaic requires % (8, 128) or exact match)
-    loc2 = local.reshape(g, 1, s)
+    gb = min(g, GB)
+    ni = g // gb
+    loct = _loct(local, g, s)
+    loct_spec = pl.BlockSpec((s, gb), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    row_spec = lambda w: pl.BlockSpec(
+        (w, gb * pk), lambda i: (0, i), memory_space=pltpu.VMEM)
+    dat_spec = pl.BlockSpec((c, gb * s), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
     if remaining is None:
-        kernel = partial(_splat_kernel, s=s, pk=pk, c=c)
-        args = (loc2, data, film)
-        specs = [
-            pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((pk, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ]
+        kernel = partial(_splat_kernel, s=s, pk=pk, c=c, gb=gb)
+        args = (loct, data, film)
+        specs = [loct_spec, dat_spec, row_spec(c)]
     else:
-        kernel = partial(_splat_kernel_capped, s=s, pk=pk, c=c)
-        args = (loc2, data, remaining, film)
-        specs = [
-            pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((pk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((pk, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ]
+        kernel = partial(_splat_kernel_capped, s=s, pk=pk, c=c, gb=gb)
+        args = (loct, data, remaining, film)
+        specs = [loct_spec, dat_spec, row_spec(1), row_spec(c)]
     return pl.pallas_call(
         kernel,
-        grid=(g,),
+        grid=(ni,),
         in_specs=specs,
-        out_specs=pl.BlockSpec((pk, c), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g * pk, c), jnp.float32),
+        out_specs=row_spec(c),
+        out_shape=jax.ShapeDtypeStruct((c, g * pk), jnp.float32),
     )(*args)
 
 
 @partial(jax.jit, static_argnames=("groups", "interpret"))
 def fetch(local, table, groups: int, interpret: bool = False):
-    """Per-lane read of a padded per-pixel f32 column (dense, gather-free).
+    """Per-lane read of a padded per-pixel f32 row (dense, gather-free).
     local: [n] int32 in-block pixel index (always valid).
-    table: [G*Pk, 1] f32.  Returns [n] f32."""
+    table: [1, G*Pk] f32.  Returns [n] f32."""
     g = groups
     n = local.shape[0]
     s = n // g
-    pk = table.shape[0] // g
+    pk = table.shape[1] // g
     if interpret:
         pid = (jnp.arange(n, dtype=jnp.int32) // s) * pk + local
-        return jnp.take(table[:, 0], pid)
+        return jnp.take(table[0], pid)
+    gb = min(g, GB)
+    ni = g // gb
     out = pl.pallas_call(
-        partial(_fetch_kernel, s=s, pk=pk),
-        grid=(g,),
+        partial(_fetch_kernel, s=s, pk=pk, gb=gb),
+        grid=(ni,),
         in_specs=[
-            pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0),
+            pl.BlockSpec((s, gb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gb * pk), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((pk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((s, gb), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, 1, s), jnp.float32),
-    )(local.reshape(g, 1, s), table)
-    return out.reshape(n)
+        out_shape=jax.ShapeDtypeStruct((s, g), jnp.float32),
+    )(_loct(local, g, s), table)
+    return out.T.reshape(n)

@@ -307,7 +307,7 @@ def wf_logic_phase(scene: DeviceScene, params: RenderParams, state: WfState,
         if block:
             # dense per-group fetch instead of a [n] gather
             pix_spp = bs.fetch(lpid % pk_,
-                               state.spp.astype(jnp.float32)[:, None],
+                               state.spp.astype(jnp.float32)[None, :],
                                groups=g_local,
                                interpret=b_interp).astype(jnp.int32)
         else:
@@ -381,41 +381,49 @@ def wf_logic_phase(scene: DeviceScene, params: RenderParams, state: WfState,
             splat &= rank < (spp_cap - pix_spp)
     film = state.film
 
-    # one 4-channel scatter instead of four 1-channel ones — scatters take
-    # the same slow path as gathers on this TPU, so passes are minimized
-    data = jnp.stack([jnp.where(splat, Ei.x, 0.0),
-                      jnp.where(splat, Ei.y, 0.0),
-                      jnp.where(splat, Ei.z, 0.0),
-                      splat.astype(jnp.float32)], axis=1)
     splat_records = None
     n_splatted = None
     if block:
-        # dense per-group accumulation (core/block_splat.py) — no scatter
+        # dense per-group accumulation (core/block_splat.py) — no scatter.
+        # Channel-major [C, n] stacks: narrow [n, C] row-matrices are
+        # lane-padded to 128 by TPU tiling (≈32x the bytes)
+        data_t = jnp.stack([jnp.where(splat, Ei.x, 0.0),
+                            jnp.where(splat, Ei.y, 0.0),
+                            jnp.where(splat, Ei.z, 0.0),
+                            splat.astype(jnp.float32)], axis=0)
         local_col = jnp.where(splat, lpid % pk_, -1)
         fmat = jnp.stack([film.color.x, film.color.y, film.color.z,
-                          film.weight], axis=1)
+                          film.weight], axis=0)
         if cfg.max_spp > 0:
             remaining = jnp.maximum(spp_cap - state.spp, 0) \
-                .astype(jnp.float32)[:, None]
-            new_mat = bs.splat(local_col, data, fmat, groups=g_local,
+                .astype(jnp.float32)[None, :]
+            new_mat = bs.splat(local_col, data_t, fmat, groups=g_local,
                                remaining=remaining, interpret=b_interp)
-            delta_w = new_mat[:, 3] - film.weight
+            delta_w = new_mat[3] - film.weight
             spp_counts = state.spp + jnp.round(delta_w).astype(jnp.int32)
             n_splatted = jnp.round(jnp.sum(delta_w)).astype(jnp.int32)
         else:
-            new_mat = bs.splat(local_col, data, fmat, groups=g_local,
+            new_mat = bs.splat(local_col, data_t, fmat, groups=g_local,
                                interpret=b_interp)
             spp_counts = state.spp
-        film = Film(color=Vec3(new_mat[:, 0], new_mat[:, 1], new_mat[:, 2]),
-                    weight=new_mat[:, 3])
-    elif defer_splat:
+        film = Film(color=Vec3(new_mat[0], new_mat[1], new_mat[2]),
+                    weight=new_mat[3])
+    else:
+        # one 4-channel scatter instead of four 1-channel ones — scatters
+        # take the same slow path as gathers on this TPU, so passes are
+        # minimized
+        data = jnp.stack([jnp.where(splat, Ei.x, 0.0),
+                          jnp.where(splat, Ei.y, 0.0),
+                          jnp.where(splat, Ei.z, 0.0),
+                          splat.astype(jnp.float32)], axis=1)
+    if defer_splat and not block:
         # throughput mode: hand the (pixel, rgbw) records to the caller,
         # which batches K segments into ONE segment_sum — the scatter's
         # num_segments-proportional cost (~30 ms @2M pixels) amortizes
         seg = jnp.where(splat, pool.pixel_index - pixel_base, num_pixels)
         splat_records = (seg, data)
         spp_counts = state.spp
-    else:
+    elif not block:
         seg = jnp.where(splat, pool.pixel_index - pixel_base,
                         num_pixels)  # overflow bucket
         acc = jax.ops.segment_sum(data, seg,
@@ -460,25 +468,30 @@ def wf_logic_phase(scene: DeviceScene, params: RenderParams, state: WfState,
         am = alive & ~singular & ~first_diffuse   # first non-singular hit
         first_diffuse = jnp.where(terminate, False,
                                   first_diffuse | (alive & ~singular))
-        fdata = jnp.stack([
-            jnp.where(am, sp.Kd.x, 0.0), jnp.where(am, sp.Kd.y, 0.0),
-            jnp.where(am, sp.Kd.z, 0.0), am.astype(jnp.float32),
-            jnp.where(nm, cs.x, 0.0), jnp.where(nm, cs.y, 0.0),
-            jnp.where(nm, cs.z, 0.0), nm.astype(jnp.float32)], axis=1)
         if block:
+            fdata_t = jnp.stack([
+                jnp.where(am, sp.Kd.x, 0.0), jnp.where(am, sp.Kd.y, 0.0),
+                jnp.where(am, sp.Kd.z, 0.0), am.astype(jnp.float32),
+                jnp.where(nm, cs.x, 0.0), jnp.where(nm, cs.y, 0.0),
+                jnp.where(nm, cs.z, 0.0), nm.astype(jnp.float32)], axis=0)
             f_local = jnp.where(nm | am, lpid % pk_, -1)
             f_prev = jnp.stack([
                 features.albedo.x, features.albedo.y, features.albedo.z,
                 features.albedo_w, features.normal.x, features.normal.y,
-                features.normal.z, features.normal_w], axis=1)
-            f_new = bs.splat(f_local, fdata, f_prev, groups=g_local,
+                features.normal.z, features.normal_w], axis=0)
+            f_new = bs.splat(f_local, fdata_t, f_prev, groups=g_local,
                              interpret=b_interp)
             features = FeatureFilm(
-                albedo=Vec3(f_new[:, 0], f_new[:, 1], f_new[:, 2]),
-                albedo_w=f_new[:, 3],
-                normal=Vec3(f_new[:, 4], f_new[:, 5], f_new[:, 6]),
-                normal_w=f_new[:, 7])
+                albedo=Vec3(f_new[0], f_new[1], f_new[2]),
+                albedo_w=f_new[3],
+                normal=Vec3(f_new[4], f_new[5], f_new[6]),
+                normal_w=f_new[7])
         else:
+            fdata = jnp.stack([
+                jnp.where(am, sp.Kd.x, 0.0), jnp.where(am, sp.Kd.y, 0.0),
+                jnp.where(am, sp.Kd.z, 0.0), am.astype(jnp.float32),
+                jnp.where(nm, cs.x, 0.0), jnp.where(nm, cs.y, 0.0),
+                jnp.where(nm, cs.z, 0.0), nm.astype(jnp.float32)], axis=1)
             fseg = jnp.where(nm | am, pool.pixel_index - pixel_base,
                              num_pixels)
             facc = jax.ops.segment_sum(

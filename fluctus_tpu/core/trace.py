@@ -79,14 +79,15 @@ def _interpret_pallas() -> bool:
 
 
 def shading_from_attrs(row, col, tex_meta: bool = False):
-    """Build ShadingParams from a winner-resolve attribute row
-    (accel/mxu_trace.py ATTR_* layout) — zero gathers. With tex_meta, the
-    baked atlas descriptors (wh-pack + offset columns) are unpacked per
-    lane so texel fetches skip the metadata gathers too."""
+    """Build ShadingParams from the winner-resolve SoA attribute matrix
+    [ATTR_COLS, n] (accel/mxu_trace.py ATTR_* rows) — zero gathers, and
+    each attribute is a contiguous row slice. With tex_meta, the baked
+    atlas descriptors (wh-pack + offset rows) are unpacked per lane so
+    texel fetches skip the metadata gathers too."""
     from ..accel import mxu_trace as mt
     from ..bsdf import ShadingParams
-    g = lambda c: row[:, c]
-    v3 = lambda c: Vec3(row[:, c], row[:, c + 1], row[:, c + 2])
+    g = lambda c: row[c]
+    v3 = lambda c: Vec3(row[c], row[c + 1], row[c + 2])
     valid = col >= 0
 
     def meta(wh_col, off_col):
@@ -154,17 +155,17 @@ def trace_extension(orig: Vec3, d: Vec3, scene: DeviceScene,
                 else trace_extension_raw(orig, d, scene)
             row = mt.resolve_hits_mxu(orig, d, t, col, scene.mxu,
                                       interpret=interp)
-            t = jnp.where(col >= 0, row[:, mt.ATTR_HITT], t)
-            nrm = Vec3(row[:, mt.ATTR_N], row[:, mt.ATTR_N + 1],
-                       row[:, mt.ATTR_N + 2])
+            t = jnp.where(col >= 0, row[mt.ATTR_HITT], t)
+            nrm = Vec3(row[mt.ATTR_N], row[mt.ATTR_N + 1],
+                       row[mt.ATTR_N + 2])
             mat_id = jnp.where(col >= 0,
-                               (row[:, mt.ATTR_MAT] + 0.5).astype(jnp.int32),
+                               (row[mt.ATTR_MAT] + 0.5).astype(jnp.int32),
                                -1)
             # original tri id comes from the attrs matmul too (float-exact)
             tri = jnp.where(col >= 0,
-                            (row[:, mt.ATTR_TRI] + 0.5).astype(jnp.int32), -1)
+                            (row[mt.ATTR_TRI] + 0.5).astype(jnp.int32), -1)
             hit = Hit(P=orig + d * t, N=normalize(nrm),
-                      uv_u=row[:, mt.ATTR_UV], uv_v=row[:, mt.ATTR_UV + 1],
+                      uv_u=row[mt.ATTR_UV], uv_v=row[mt.ATTR_UV + 1],
                       t=t, i=tri, area_light_hit=jnp.zeros_like(tri),
                       mat_id=mat_id)
             if want_shading:

@@ -148,12 +148,13 @@ class Renderer:
 
         # block-bound wavefront pool: pick a group count compatible with
         # the image and the default pool size (power of two, each group
-        # holding >= 4 pixels)
-        groups = 1024
+        # holding >= 4 pixels; target ~512 pixels/group, which keeps the
+        # dense-splat one-hot matmuls at Pk=512 — the per-segment MXU
+        # cost scales with pool_lanes * Pk)
         npx = self.width * self.height
         ntasks = s.wf_buffer_size
-        while groups > 1 and (npx < 4 * groups or ntasks % groups
-                              or (groups - 1) * (-(-npx // groups)) >= npx):
+        groups = 4096
+        while groups > 1 and (npx < 4 * groups or ntasks % groups):
             groups //= 2
         block = (on_tpu and groups > 1
                  and os.environ.get("FLT_BLOCK_RING", "1") == "1")

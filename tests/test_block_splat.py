@@ -1,6 +1,7 @@
 """Dense per-group splat kernel (core/block_splat.py) — math checks of the
 interpret/CPU reference path, which tools/check_block_splat.py then holds
-the TPU Pallas kernels to."""
+the TPU Pallas kernels to. The API is channel-major (data [C,n],
+film [C,G*Pk]) — see the module docstring for the tiling rationale."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -8,11 +9,11 @@ import jax.numpy as jnp
 from fluctus_tpu.core import block_splat as bs
 
 
-def _np_ref(local, data, film, g, s, pk, remaining=None):
+def _np_ref(local, data_t, film_t, g, s, pk, remaining=None):
     """Capped semantics (block_splat docstring): if a pixel's candidate
     count fits its budget admit all, else only the lowest-lane candidate
     (and only when budget >= 1)."""
-    out = film.copy()
+    out = film_t.copy()
     cand = {}
     for i in range(local.shape[0]):
         l = int(local[i])
@@ -20,30 +21,32 @@ def _np_ref(local, data, film, g, s, pk, remaining=None):
             continue
         cand.setdefault((i // s) * pk + l, []).append(i)
     for p, lanes in cand.items():
-        if remaining is None or len(lanes) <= remaining[p, 0]:
+        if remaining is None or len(lanes) <= remaining[0, p]:
             admit = lanes
-        elif remaining[p, 0] >= 1:
+        elif remaining[0, p] >= 1:
             admit = [min(lanes)]
         else:
             admit = []
         for i in admit:
-            out[p] += data[i]
+            out[:, p] += data_t[:, i]
     return out
 
 
 def test_plan():
+    s, p, pk = bs.plan(1920 * 1080, 1 << 20, 4096)
+    assert s == 256 and p == 507 and pk == 512
+    # short/empty tail groups are allowed (integrator clamps ring len >= 1)
     s, p, pk = bs.plan(1920 * 1080, 1 << 20, 1024)
     assert s == 1024 and p == 2025 and pk == 2048
-    assert (1024 - 1) * p < 1920 * 1080 <= 1024 * p
 
 
 def test_splat_uncapped():
     rng = np.random.default_rng(0)
     g, s, pk, c = 8, 32, 128, 4
     local = rng.integers(-1, 100, g * s).astype(np.int32)
-    data = rng.normal(size=(g * s, c)).astype(np.float32)
-    data[local < 0] = 0.0
-    film = rng.normal(size=(g * pk, c)).astype(np.float32)
+    data = rng.normal(size=(c, g * s)).astype(np.float32)
+    data[:, local < 0] = 0.0
+    film = rng.normal(size=(c, g * pk)).astype(np.float32)
     out = np.asarray(bs.splat(jnp.asarray(local), jnp.asarray(data),
                               jnp.asarray(film), groups=g, interpret=True))
     ref = _np_ref(local, data, film, g, s, pk)
@@ -56,10 +59,10 @@ def test_splat_capped_exact():
     # many collisions: few pixels per group
     local = rng.integers(0, 5, g * s).astype(np.int32)
     local[rng.random(g * s) < 0.2] = -1
-    data = np.ones((g * s, c), np.float32)
-    data[local < 0] = 0.0
-    film = np.zeros((g * pk, c), np.float32)
-    remaining = rng.integers(0, 4, (g * pk, 1)).astype(np.float32)
+    data = np.ones((c, g * s), np.float32)
+    data[:, local < 0] = 0.0
+    film = np.zeros((c, g * pk), np.float32)
+    remaining = rng.integers(0, 4, (1, g * pk)).astype(np.float32)
     out = np.asarray(bs.splat(jnp.asarray(local), jnp.asarray(data),
                               jnp.asarray(film), groups=g,
                               remaining=jnp.asarray(remaining),
@@ -67,8 +70,8 @@ def test_splat_capped_exact():
     ref = _np_ref(local, data, film, g, s, pk, remaining)
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-5)
     # no pixel exceeds its budget, and capped pixels hit it exactly
-    got = out[:, 3]
-    cap = remaining[:, 0]
+    got = out[3]
+    cap = remaining[0]
     assert (got <= cap + 1e-6).all()
 
 
@@ -76,9 +79,9 @@ def test_fetch():
     rng = np.random.default_rng(2)
     g, s, pk = 4, 32, 128
     local = rng.integers(0, pk, g * s).astype(np.int32)
-    table = rng.normal(size=(g * pk, 1)).astype(np.float32)
+    table = rng.normal(size=(1, g * pk)).astype(np.float32)
     out = np.asarray(bs.fetch(jnp.asarray(local), jnp.asarray(table),
                               groups=g, interpret=True))
-    ref = np.array([table[(i // s) * pk + local[i], 0]
+    ref = np.array([table[0, (i // s) * pk + local[i]]
                     for i in range(g * s)])
     np.testing.assert_allclose(out, ref, rtol=1e-6)

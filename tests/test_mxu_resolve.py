@@ -37,10 +37,10 @@ def test_resolve_matches_gather_reconstruction():
                                              interpret=True)
     from fluctus_tpu.accel import mxu_trace as mt
     row = resolve_hits_mxu(ov, dv, t, col, mxu, ray_tile=256, interpret=True)
-    n2 = Vec3(row[:, mt.ATTR_N], row[:, mt.ATTR_N + 1], row[:, mt.ATTR_N + 2])
-    uu, vv = row[:, mt.ATTR_UV], row[:, mt.ATTR_UV + 1]
+    n2 = Vec3(row[mt.ATTR_N], row[mt.ATTR_N + 1], row[mt.ATTR_N + 2])
+    uu, vv = row[mt.ATTR_UV], row[mt.ATTR_UV + 1]
     mat2 = jnp.where(col >= 0,
-                     (row[:, mt.ATTR_MAT] + 0.5).astype(jnp.int32), -1)
+                     (row[mt.ATTR_MAT] + 0.5).astype(jnp.int32), -1)
     ref = reconstruct_hit(ov, dv, t, tri, u, v, tris)
 
     hitm = np.asarray(tri) >= 0
@@ -106,9 +106,10 @@ def test_winner_lists():
     assert t1[:3] == [0, 1, 2] and all(x == -1 for x in t1[3:])
 
 
-def test_resolve_v3_matches_v2():
-    """The bf16 B16-table resolve must agree with the f32 kernels:
-    integer columns exactly, floats to the 16-bit split tolerance."""
+def test_resolve_v5_matches_v2():
+    """The bf16 B16-table rays-on-lanes resolve (SoA [ATTR_COLS, n]
+    output) must agree with the f32 rays-on-sublanes kernels: integer
+    rows exactly, floats to the 16-bit split tolerance."""
     from fluctus_tpu.accel import mxu_trace as mt
     s = Scene()
     s.load_model("/root/reference/assets/teapot.ply")
@@ -137,13 +138,14 @@ def test_resolve_v3_matches_v2():
     v2 = np.asarray(mt._resolve_v2(col2, o4, d4, mxu.txy_t, mxu.attrs,
                                    (mxu.n_clusters, mxu.cluster_size), 256,
                                    True))
-    v3 = np.asarray(mt._resolve_v3(col2, o4, d4, mxu.attr_b16, mxu.t12b,
+    assert mxu.b16t is not None
+    v5 = np.asarray(mt._resolve_v5(col2, o4, d4, mxu.b16t, mxu.t12b,
                                    (mxu.n_clusters, mxu.cluster_size), 256,
                                    True))
     for c_ in (mt.ATTR_MAT, mt.ATTR_TYPE, mt.ATTR_MAP_KD, mt.ATTR_MAP_KS,
                mt.ATTR_MAP_N, mt.ATTR_TRI):
-        np.testing.assert_array_equal(np.rint(v3[:, c_]), np.rint(v2[:, c_]))
+        np.testing.assert_array_equal(np.rint(v5[c_]), np.rint(v2[:, c_]))
     for c_, w in ((mt.ATTR_N, 3), (mt.ATTR_UV, 2), (mt.ATTR_KD, 3),
                   (mt.ATTR_NS, 1), (mt.ATTR_HITT, 1)):
-        np.testing.assert_allclose(v3[:, c_:c_ + w], v2[:, c_:c_ + w],
+        np.testing.assert_allclose(v5[c_:c_ + w].T, v2[:, c_:c_ + w],
                                    rtol=2e-3, atol=2e-3)

@@ -63,7 +63,7 @@ def run_mxu():
 
 if big:
     # supercluster + streamed resolve vs CPU bitstack on sampled rays
-    os.environ["FLT_RESOLVE_V"] = "4"
+    mt._RESOLVE_V2_VMEM_BYTES = 1 << 20   # force the streamed v5s
     t0 = time.time()
     t2, tri2, occ2, row2, col2 = run_mxu()
     print("mxu trace+resolve (incl compile)", time.time() - t0)
@@ -109,7 +109,7 @@ if big:
     assert agree_occ > 0.9995
     # resolve row self-consistency: interpolated normal is unit, t matches
     mask = same_tri & both
-    tr = row2[mask, mt.ATTR_HITT]
+    tr = row2[mt.ATTR_HITT, mask]
     dtr = np.abs(tr - t2[mask]) / np.maximum(np.abs(t2[mask]), 1e-6)
     print("resolve t vs trace t rel err max", dtr.max())
     assert dtr.max() < 1e-3
@@ -120,7 +120,7 @@ else:
     t1, tri1, occ1, row1, col1 = run_mxu()
     # forced supercluster + streamed resolve
     os.environ["FLT_SC_THRESHOLD"] = "1"
-    os.environ["FLT_RESOLVE_V"] = "4"
+    mt._RESOLVE_V2_VMEM_BYTES = 1 << 20   # force the streamed v5s
     t2, tri2, occ2, row2, col2 = run_mxu()
 
     hit1 = tri1 >= 0; hit2 = tri2 >= 0
@@ -134,7 +134,7 @@ else:
     assert same_tri[hit1].mean() > 0.999   # coplanar ties may differ
     print("any_hit agree", (occ1 == occ2).mean()); assert (occ1 == occ2).all()
     mask = same_tri & hit1
-    dr = np.abs(row1[mask] - row2[mask]).max()
+    dr = np.abs(row1[:, mask] - row2[:, mask]).max()
     print("resolve row max abs diff (same winners)", dr)
     assert dr < 2e-2
     print("PARITY OK")
