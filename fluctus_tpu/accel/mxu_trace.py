@@ -60,10 +60,12 @@ import os as _os_env
 # below it the flat candidate list is cheaper
 SC_CLUSTERS = int(_os_env.environ.get("FLT_SC_CLUSTERS", "64"))
 SC_THRESHOLD = int(_os_env.environ.get("FLT_SC_THRESHOLD", "96"))
+# fine-cull granularity and sub-slots per packed visit for the rol4 kernel
+FINE_SIZE = int(_os_env.environ.get("FLT_FINE_SIZE", "64"))
 
 # bump when any table layout changes (ATTR_*/B16 columns, transform packing,
 # cluster/supercluster cut rules) — invalidates on-disk table caches
-TABLE_VERSION = 3
+TABLE_VERSION = 4
 
 # attrs column layout (keep in sync with resolve consumers in core/trace.py)
 ATTR_N = 0        # nx, ny, nz
@@ -338,6 +340,9 @@ class MXUScene:
     # 128-triangle sub-block AABBs [n_clusters * (tc//128), 8] for the
     # sub-block-culled kernel (NaN rows = empty sub-block, never hit)
     sub_box: Optional[jnp.ndarray] = None
+    # FINE_SIZE-triangle AABBs [Mpad/FINE_SIZE, 8] — the rol4 packed-visit
+    # kernel's candidate granularity (NaN rows = empty)
+    fine_box: Optional[jnp.ndarray] = None
     # bf16 resolve table [Mpad, 128] (B16 layout) — one single-pass MXU
     # one-hot product fetches transforms + all shading attributes
     attr_b16: Optional[jnp.ndarray] = None
@@ -503,18 +508,30 @@ class MXUScene:
         txy_t = np.concatenate([t4[:, :, 0], t4[:, :, 1], t4[:, :, 2]],
                                axis=1).astype(np.float32)  # [Mpad, 12]
 
-        sub_box = None
-        if cluster_size % 128 == 0:
-            nsb = cluster_size // 128
+        def _granular_boxes(gran):
+            """AABBs of `gran`-triangle blocks in cluster-table order
+            (centered coords; NaN rows = empty block, never slab-hit)."""
+            nb = cluster_size // gran
             tmin = np.where(used[:, None], tris.min(axis=1), np.inf)
             tmax = np.where(used[:, None], tris.max(axis=1), -np.inf)
-            g = tmin.reshape(n_clusters * nsb, 128, 3).min(axis=1)
-            h = tmax.reshape(n_clusters * nsb, 128, 3).max(axis=1)
-            any_used = used.reshape(n_clusters * nsb, 128).any(axis=1)
-            sb = np.full((n_clusters * nsb, 8), np.nan, np.float32)
+            g = tmin.reshape(n_clusters * nb, gran, 3).min(axis=1)
+            h = tmax.reshape(n_clusters * nb, gran, 3).max(axis=1)
+            any_used = used.reshape(n_clusters * nb, gran).any(axis=1)
+            sb = np.full((n_clusters * nb, 8), np.nan, np.float32)
             sb[:, 0:3] = np.where(any_used[:, None], g, np.nan)
             sb[:, 3:6] = np.where(any_used[:, None], h, np.nan)
-            sub_box = sb
+            return sb
+
+        sub_box = None
+        if cluster_size % 128 == 0:
+            sub_box = _granular_boxes(128)
+        # FINE-granularity boxes for the packed-visit kernel (rol4): the
+        # candidate cull runs at FINE_SIZE triangles — measured 2.7x fewer
+        # live pairs/ray than 256-granularity on egyptcat bounce tiles —
+        # while pair math still runs on packed [PACK*FINE_SIZE, rt] blocks
+        fine_box = None
+        if cluster_size % FINE_SIZE == 0:
+            fine_box = _granular_boxes(FINE_SIZE)
 
         attr_b16 = None
         if attrs is not None:
@@ -543,7 +560,8 @@ class MXUScene:
                 .reshape(n_clusters * B16.COLS, cluster_size))
 
         host = dict(
-            sc_box=sc_box, sub_box=sub_box, attr_b16=attr_b16, attrs=attrs,
+            sc_box=sc_box, sub_box=sub_box, fine_box=fine_box,
+            attr_b16=attr_b16, attrs=attrs,
             b16t=b16t, txy_t=txy_t, t12=t12, t12b=t12b,
             tx=np.ascontiguousarray(t4[:, :, 0].T, np.float32),
             ty=np.ascontiguousarray(t4[:, :, 1].T, np.float32),
@@ -565,7 +583,8 @@ class MXUScene:
         j = lambda k: (jnp.asarray(host[k]) if host.get(k) is not None
                        else None)
         return MXUScene(
-            sc_box=j("sc_box"), sub_box=j("sub_box"), attr_b16=j("attr_b16"),
+            sc_box=j("sc_box"), sub_box=j("sub_box"),
+            fine_box=j("fine_box"), attr_b16=j("attr_b16"),
             attrs=j("attrs"), b16t=j("b16t"), txy_t=j("txy_t"), t12=j("t12"),
             t12b=j("t12b"),
             tx=j("tx"), ty=j("ty"), tz=j("tz"),
@@ -583,9 +602,10 @@ class MXUScene:
         if cache_path and _os_env.path.exists(cache_path):
             z = np.load(cache_path, allow_pickle=False)
             host = {k: (None if z[k].ndim == 0 else z[k])
-                    for k in ("sc_box", "sub_box", "attr_b16", "attrs",
-                              "b16t", "txy_t", "t12", "t12b", "tx", "ty",
-                              "tz", "cluster_box", "tri_map", "center")}
+                    for k in ("sc_box", "sub_box", "fine_box", "attr_b16",
+                              "attrs", "b16t", "txy_t", "t12", "t12b", "tx",
+                              "ty", "tz", "cluster_box", "tri_map",
+                              "center")}
             import ml_dtypes
             for k in ("attr_b16", "b16t"):
                 if host[k] is not None:
@@ -1290,6 +1310,186 @@ def _trace_rol2(o4, d4, tmax_col, txy_t, boxes, scene_static, any_hit,
     return t.reshape(b, 1), i.reshape(b, 1)
 
 
+def _trace_kernel_rol4(o_ref, tm_ref, ord_ref, cons_ref, txy_ref, box_ref,
+                       t_ref, i_ref, pack_ref, *, rt, fc, pk, n_fine,
+                       any_hit):
+    """Packed fine-cluster rays-on-lanes kernel: the candidate list holds
+    FINE_SIZE-triangle blocks (cull granularity fc), and each loop visit
+    gathers up to `pk` live candidates' [fc, 12] transform slices into a
+    contiguous VMEM scratch, then runs ONE [pk*fc, rt] pair-math pass.
+    Fine culling cuts live pairs ~2.7x on bounce tiles (measured probe vs
+    256-granularity), while packing keeps the vector shapes and the
+    per-visit fixed costs (loop control, winner reduce, early-out) at the
+    coarse kernel's amortization. Sub-slots that fail their tile slab are
+    left stale in scratch and neutralized by a per-row validity mask."""
+    O = o_ref[0]                      # [8, rt]: ox oy oz 1 dx dy dz 0
+    o0, o1, o2 = O[0:1], O[1:2], O[2:3]
+    d0, d1, d2 = O[4:5], O[5:6], O[6:7]
+    eps = 1e-30
+    i0 = 1.0 / jnp.where(d0 == 0.0, eps, d0)
+    i1 = 1.0 / jnp.where(d1 == 0.0, eps, d1)
+    i2 = 1.0 / jnp.where(d2 == 0.0, eps, d2)
+    tm = tm_ref[0]                    # [1, rt]
+    t_ref[0] = tm
+    i_ref[0] = jnp.full((1, rt), -1, jnp.int32)
+    tcp = pk * fc
+    rowbits = tcp - 1
+    shift = int(np.log2(fc))
+
+    def slab(c):
+        box = box_ref[jnp.maximum(c, 0), :]
+        ax = (box[0] - o0) * i0
+        bx = (box[3] - o0) * i0
+        ay = (box[1] - o1) * i1
+        by = (box[4] - o1) * i1
+        az = (box[2] - o2) * i2
+        bz = (box[5] - o2) * i2
+        tnear = jnp.maximum(jnp.maximum(jnp.minimum(ax, bx),
+                                        jnp.minimum(ay, by)),
+                            jnp.minimum(az, bz))
+        tfar = jnp.minimum(jnp.minimum(jnp.maximum(ax, bx),
+                                       jnp.maximum(ay, by)),
+                           jnp.maximum(az, bz))
+        hit = (tfar >= 0.0) & (tnear <= tfar) & (tnear < t_ref[0])
+        if any_hit:
+            hit = hit & (i_ref[0] < 0)
+        return hit
+
+    def cond(carry):
+        slot, stop = carry
+        return (slot < n_fine) & ~stop
+
+    def body(carry):
+        slot, _ = carry
+        t_best = t_ref[0]             # [1, rt]
+        flags = []
+        bases = []
+        for j in range(pk):
+            c = ord_ref[0, jnp.minimum(slot + j, n_fine - 1), 0]
+            live = jnp.any(slab(c)) & (c >= 0) & (slot + j < n_fine)
+            flags.append(live)
+            bases.append(jnp.where(live, c * fc, 0))
+
+            @pl.when(live)
+            def _(c=c, j=j):
+                off = pl.multiple_of(c * fc, fc)
+                pack_ref[j * fc:(j + 1) * fc, :] = \
+                    txy_ref[pl.ds(off, fc), :]
+
+        any_live = flags[0]
+        for j in range(1, pk):
+            any_live = any_live | flags[j]
+
+        @pl.when(any_live)
+        def _():
+            TT = pack_ref[:]                          # [pk*fc, 12]
+            oz = o0 * TT[:, 8:9] + o1 * TT[:, 9:10] + o2 * TT[:, 10:11] \
+                + TT[:, 11:12]
+            dz = d0 * TT[:, 8:9] + d1 * TT[:, 9:10] + d2 * TT[:, 10:11]
+            t = -oz / jnp.where(dz == 0.0, 1.0, dz)
+            ox = o0 * TT[:, 0:1] + o1 * TT[:, 1:2] + o2 * TT[:, 2:3] \
+                + TT[:, 3:4]
+            dx = d0 * TT[:, 0:1] + d1 * TT[:, 1:2] + d2 * TT[:, 2:3]
+            u = ox + t * dx
+            oy = o0 * TT[:, 4:5] + o1 * TT[:, 5:6] + o2 * TT[:, 6:7] \
+                + TT[:, 7:8]
+            dy = d0 * TT[:, 4:5] + d1 * TT[:, 5:6] + d2 * TT[:, 6:7]
+            v = oy + t * dy
+            # stale sub-slot rows are masked out here (scratch keeps the
+            # previous visit's transforms when a sub-slot's slab failed)
+            sub = jax.lax.broadcasted_iota(jnp.int32, (tcp, 1), 0) >> shift
+            rowok = (sub == 0) & flags[0]
+            for j in range(1, pk):
+                rowok = rowok | ((sub == j) & flags[j])
+            valid = rowok & (dz != 0.0) & (t > 0.0) & \
+                (jnp.minimum(jnp.minimum(u, v), 1.0 - u - v) >= 0.0)
+            if any_hit:
+                tcand = jnp.where(valid, t, F32_MAX)
+                tmin = jnp.min(tcand, axis=0, keepdims=True)
+                blocked = tmin < t_best
+                i_ref[0] = jnp.where(blocked, 1, i_ref[0])
+                t_ref[0] = jnp.where(blocked, 0.0, t_ref[0])
+            else:
+                row = jax.lax.broadcasted_iota(jnp.int32, (tcp, rt), 0)
+                key = (pltpu.bitcast(t, jnp.int32) & ~rowbits) | row
+                key = jnp.where(valid, key, jnp.int32(0x7F800000))
+                kmin = jnp.min(key, axis=0, keepdims=True)
+                tmin = pltpu.bitcast(kmin & ~rowbits, jnp.float32)
+                better = tmin < t_best
+                wrow = kmin & rowbits                 # [1, rt]
+                wsub = wrow >> shift
+                wcol = wrow & (fc - 1)
+                for j in range(pk):
+                    wcol = wcol + jnp.where(wsub == j, bases[j], 0)
+                t_ref[0] = jnp.where(better, tmin, t_ref[0])
+                i_ref[0] = jnp.where(better, wcol, i_ref[0])
+
+        nxt = slot + pk
+        guard = jnp.minimum(nxt, n_fine - 1)
+        t_worst = jnp.max(t_ref[0])
+        stop = (ord_ref[0, guard, 0] < 0) | (cons_ref[0, guard, 0] > t_worst) \
+            | (t_worst <= 0.0)
+        return nxt, stop
+
+    t_worst0 = jnp.max(tm)
+    stop0 = (ord_ref[0, 0, 0] < 0) | (cons_ref[0, 0, 0] > t_worst0) \
+        | (t_worst0 <= 0.0)
+    jax.lax.while_loop(cond, body, (jnp.int32(0), stop0))
+
+
+@partial(jax.jit, static_argnames=("scene_static", "any_hit", "ray_tile",
+                                   "interpret"))
+def _trace_rol4(o4, d4, tmax_col, txy_t, fine_boxes, scene_static, any_hit,
+                ray_tile, interpret):
+    """Packed fine-cluster dispatch: candidate lists at FINE_SIZE
+    granularity against the resident [Mpad, 12] transform table."""
+    n_fine, fc, pk = scene_static
+    rt = ray_tile
+    b = o4.shape[0]
+    nt = b // rt
+
+    order, cons = _tile_order_dispatch(o4, d4, tmax_col, fine_boxes, rt,
+                                       interpret)
+    nfc_pad = order.shape[1]
+
+    rays = jnp.stack([o4[:, 0], o4[:, 1], o4[:, 2], o4[:, 3],
+                      d4[:, 0], d4[:, 1], d4[:, 2], d4[:, 3]], axis=0)
+    rays = rays.reshape(8, nt, rt).transpose(1, 0, 2)     # [nt, 8, rt]
+    tm = tmax_col.reshape(nt, 1, rt)
+
+    kernel = partial(_trace_kernel_rol4, rt=rt, fc=fc, pk=pk,
+                     n_fine=n_fine, any_hit=any_hit)
+    t, i = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, 8, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nfc_pad, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nfc_pad, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, 1, rt), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 1, rt), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((pk * fc, 12), jnp.float32)],
+        interpret=interpret,
+    )(rays, tm, order, cons, txy_t, fine_boxes)
+    return t.reshape(b, 1), i.reshape(b, 1)
+
+
 @partial(jax.jit, static_argnames=("scene_static", "any_hit", "ray_tile",
                                    "interpret"))
 def _trace_rol(o4, d4, tmax_col, t12, boxes, scene_static, any_hit,
@@ -1587,6 +1787,13 @@ def _dispatch_trace(o4, d4, tmax_col, scene, any_hit, ray_tile, interpret):
                              scene.sc_box,
                              (scene.n_superclusters, scene.cluster_size),
                              any_hit, ROL_TILE, interpret)
+    if ROL and scene.fine_box is not None and scene.txy_t is not None \
+            and not interpret and ROL_V == "4" \
+            and scene.txy_t.size * 4 <= (12 << 20):
+        pk = int(_os.environ.get("FLT_PACK", "4"))
+        return _trace_rol4(o4, d4, tmax_col, scene.txy_t, scene.fine_box,
+                           (scene.fine_box.shape[0], FINE_SIZE, pk),
+                           any_hit, ROL_TILE, interpret)
     if ROL and scene.sub_box is not None and not interpret and ROL_V == "3":
         return _trace_rol3(o4, d4, tmax_col, scene.t12, scene.cluster_box,
                            scene.sub_box,

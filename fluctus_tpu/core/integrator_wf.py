@@ -180,6 +180,60 @@ def wf_reset(config: RenderConfig, num_tasks: int, world_radius=1.0) -> WfState:
                              if config.denoiser else None))
 
 
+def _rank_rows(m, exact01: bool):
+    """Exclusive per-row prefix sums of an int [R, C] matrix (C <= 1024)
+    as ONE strict-lower-triangular MXU product instead of jnp.cumsum —
+    the sparsecore scan offload this replaces cost ~27 ms/segment
+    @1M lanes (scan + chunk-merge fusions + staging). exact01: entries
+    are 0/1, so bf16 factors are exact (one fast pass); count layers use
+    f32 HIGHEST (exact to 2^24). Returns (rank [R, C], tot [R]) int32."""
+    r, c = m.shape
+    src = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    dst = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    lt = src < dst
+    dims = (((1,), (0,)), ((), ()))
+    if exact01:
+        rank = jax.lax.dot_general(
+            m.astype(jnp.bfloat16), lt.astype(jnp.bfloat16), dims,
+            preferred_element_type=jnp.float32)
+        tot = jax.lax.dot_general(
+            m.astype(jnp.bfloat16), jnp.ones((c, 1), jnp.bfloat16), dims,
+            preferred_element_type=jnp.float32)
+    else:
+        mf = m.astype(jnp.float32)
+        rank = jax.lax.dot_general(mf, lt.astype(jnp.float32), dims,
+                                   precision=jax.lax.Precision.HIGHEST)
+        tot = jax.lax.dot_general(mf, jnp.ones((c, 1), jnp.float32), dims,
+                                  precision=jax.lax.Precision.HIGHEST)
+    return rank.astype(jnp.int32), tot[:, 0].astype(jnp.int32)
+
+
+def exclusive_rank(mask):
+    """Exclusive prefix count of a flat bool [n] via hierarchical
+    triangular matmuls (row-local ranks + row-offset layers) — zero scan
+    offloads. Returns (rank [n] int32, total int32)."""
+    n = mask.shape[0]
+    c = min(n, 1024)
+    while n % c:
+        c //= 2
+    rank, tot = _rank_rows(mask.astype(jnp.int32).reshape(n // c, c), True)
+    r = n // c
+    if r == 1:
+        return rank.reshape(n), tot[0]
+    c2 = min(r, 1024)
+    while r % c2:
+        c2 //= 2
+    rank2, tot2 = _rank_rows(tot.reshape(r // c2, c2), False)
+    if r // c2 == 1:
+        offs = rank2.reshape(r)
+        total = tot2[0]
+    else:
+        rank3, tot3 = _rank_rows(tot2.reshape(1, r // c2), False)
+        offs = (rank2 + rank3.reshape(-1)[:, None]).reshape(r)
+        total = tot3[0]
+    return (rank + offs[:, None]).reshape(n), total
+
+
 def wf_segment(scene: DeviceScene, params: RenderParams, state: WfState,
                config: RenderConfig, first_iteration: bool = False,
                pixel_base=None):
@@ -578,10 +632,14 @@ def wf_logic_phase(scene: DeviceScene, params: RenderParams, state: WfState,
     # =====================================================================
     if block:
         # one ring per pixel group: a lane always regenerates within its
-        # group's true-pixel range [g*P, g*P + len_g)
+        # group's true-pixel range [g*P, g*P + len_g). Ranks via the
+        # triangular MXU product (_rank_rows), not a sparsecore scan.
         term_i = terminate.astype(jnp.int32).reshape(g_local, s_)
-        rank2 = jnp.cumsum(term_i, axis=1) - term_i
-        n_term_g = jnp.sum(term_i, axis=1)                     # [G_local]
+        if s_ <= 1024:
+            rank2, n_term_g = _rank_rows(term_i, True)
+        else:   # huge pools: the [s, s] triangular factor stops paying
+            rank2 = jnp.cumsum(term_i, axis=1) - term_i
+            n_term_g = jnp.sum(term_i, axis=1)
         n_regen = jnp.sum(n_term_g)
         g0 = pixel_base // pk_
         g_row = g0 + jnp.arange(g_local, dtype=jnp.int32)
@@ -594,9 +652,7 @@ def wf_logic_phase(scene: DeviceScene, params: RenderParams, state: WfState,
         g_of = pixel_index // pk_
         cam_pid = g_of * p_true + jnp.mod(pixel_index, pk_)
     else:
-        rank = jnp.cumsum(terminate.astype(jnp.int32)) \
-            - terminate.astype(jnp.int32)
-        n_regen = jnp.sum(terminate.astype(jnp.int32))
+        rank, n_regen = exclusive_rank(terminate)
         new_pixel = pixel_base + jnp.mod(state.curr_pixel + rank, num_pixels)
         curr_out = jnp.mod(state.curr_pixel + n_regen, num_pixels)
         pixel_index = jnp.where(terminate, new_pixel, pool.pixel_index)

@@ -91,3 +91,38 @@ def test_t_max_limits_closest(teapot):
     t_m, tri_m, _, _ = closest_hit_mxu(o, d, mxu, t_max=np.asarray(t_b) * 0.5,
                                        ray_tile=256, interpret=True)
     assert not (np.asarray(tri_m)[np.asarray(tri_b) >= 0] >= 0).any()
+
+
+def test_rol4_packed_fine_parity(teapot):
+    """_trace_rol4 (packed FINE_SIZE-granularity candidates) matches brute
+    force for closest and any-hit in interpret mode."""
+    from fluctus_tpu.accel.mxu_trace import FINE_SIZE, _trace_rol4
+    p, mxu, tris = teapot
+    assert mxu.fine_box is not None and mxu.txy_t is not None
+    o, d = _rays(p, 512, seed=3)
+    on = np.stack([np.asarray(o.x), np.asarray(o.y), np.asarray(o.z)], 1)
+    dn = np.stack([np.asarray(d.x), np.asarray(d.y), np.asarray(d.z)], 1)
+    oc = on - np.asarray(mxu.center)
+    o4 = jnp.asarray(np.concatenate([oc, np.ones((512, 1))], 1), jnp.float32)
+    d4 = jnp.asarray(np.concatenate([dn, np.zeros((512, 1))], 1), jnp.float32)
+    tmax = jnp.full((512, 1), 3.4e38, jnp.float32)
+    static = (mxu.fine_box.shape[0], FINE_SIZE, 4)
+    t4, i4 = _trace_rol4(o4, d4, tmax, mxu.txy_t, mxu.fine_box, static,
+                         False, 256, True)
+    cols = np.asarray(i4).reshape(-1)
+    tri4 = np.where(cols >= 0, np.asarray(mxu.tri_map)[np.maximum(cols, 0)],
+                    -1)
+    t_b, tri_b, _, _ = brute_force_closest(o, d, tris)
+    tri_b, t_b = np.asarray(tri_b), np.asarray(t_b)
+    hit4, hitb = tri4 >= 0, tri_b >= 0
+    assert (hit4 == hitb).mean() > 0.998
+    both = hit4 & hitb
+    assert (tri4[both] == tri_b[both]).mean() > 0.99
+    np.testing.assert_allclose(np.asarray(t4).reshape(-1)[both], t_b[both],
+                               rtol=2e-4)
+    # any-hit: tmax just above the closest hit blocks; just below passes
+    t_hi = np.where(hitb, t_b * 1.01, 3.4e38).astype(np.float32)
+    _, ia = _trace_rol4(o4, d4, jnp.asarray(t_hi)[:, None], mxu.txy_t,
+                        mxu.fine_box, static, True, 256, True)
+    blocked = np.asarray(ia).reshape(-1) >= 0
+    assert (blocked == hitb).mean() > 0.998

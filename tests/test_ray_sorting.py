@@ -29,6 +29,7 @@ def test_sorted_trace_restores_order(monkeypatch):
         tx = ty = tz = None
         t12 = None          # forces the rays-on-sublanes dispatch
         txy_t = None
+        fine_box = None
         sub_box = None
         sc_box = None
         cluster_box = jnp.asarray([[-1.0, -1, -1, 1, 1, 1, 0, 0]])

@@ -67,3 +67,21 @@ def test_pixel_ring_coverage():
                              num_tasks=128, segments=80)
     w = np.asarray(state.film.weight)
     assert (w > 0).mean() > 0.99
+
+
+def test_exclusive_rank_matches_cumsum():
+    """The triangular-matmul rank (MXU replacement for the sparsecore
+    cumsum scan) is exact for 0/1 masks and row counts."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fluctus_tpu.core.integrator_wf import _rank_rows, exclusive_rank
+    rng = np.random.default_rng(7)
+    for n in (128, 1024, 4096, 1 << 17):
+        m = rng.random(n) < rng.random()
+        r, tot = exclusive_rank(jnp.asarray(m))
+        assert np.array_equal(np.asarray(r), np.cumsum(m) - m), n
+        assert int(tot) == m.sum(), n
+    m2 = rng.integers(0, 3000, (8, 1024)).astype(np.int32)
+    r2, t2 = _rank_rows(jnp.asarray(m2), False)
+    assert np.array_equal(np.asarray(r2), np.cumsum(m2, 1) - m2)
+    assert np.array_equal(np.asarray(t2), m2.sum(1))
