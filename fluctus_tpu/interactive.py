@@ -14,6 +14,9 @@ Commands:
   speed <v>          set cameraSpeed (reference '+'/'-')
   fov <deg>          vertical field of view
   spp <n>            segments rendered per preview refresh
+  preview [0|1]      toggle fast force-splat preview: one segment +
+                     incomplete-path overwrite splat (splatPreview,
+                     mk_splat_preview.cl:13-25) for instant feedback
   save | load        render state to/from data/states (F2 / F1)
   mats               list materials (index, name, type, Kd, Ns, Ni)
   mat <i> <f> <v..>  edit material field (kd/ks/ke/kt: 3 floats;
@@ -34,6 +37,7 @@ def run_interactive(renderer, out_path: str = "preview.png",
     Returns the number of commands processed (for tests)."""
     stream = input_stream or sys.stdin
     segments = 8
+    fast_preview = False
     processed = 0
 
     def refresh():
@@ -42,8 +46,16 @@ def run_interactive(renderer, out_path: str = "preview.png",
         renderer.init_wavefront(renderer.num_tasks
                                 if getattr(renderer, "num_tasks", None)
                                 else None)
-        renderer.render_wavefront(segments)
-        renderer.film = renderer.wavefront_film()
+        if fast_preview:
+            # splatPreview role (mk_splat_preview.cl:13-25): two segments
+            # (camera rays + first NEE resolve), then blend the incomplete
+            # paths in for instant (biased) feedback — the reference's
+            # camera-motion path
+            renderer.render_wavefront(2)
+            renderer.film = renderer.wavefront_preview_film()
+        else:
+            renderer.render_wavefront(segments)
+            renderer.film = renderer.wavefront_film()
         renderer.save_image(out_path)
         import numpy as np
         spp = float(np.asarray(renderer.film.weight).mean())
@@ -94,6 +106,11 @@ def run_interactive(renderer, out_path: str = "preview.png",
                 refresh()
             elif op == "spp":
                 segments = max(1, int(cmd[1]))
+            elif op == "preview":
+                fast_preview = bool(int(cmd[1])) if len(cmd) > 1 \
+                    else not fast_preview
+                if echo:
+                    print(f"  fast preview {'on' if fast_preview else 'off'}")
             elif op == "save":
                 print(f"  saved: {renderer.save_state()}")
             elif op == "load":

@@ -503,6 +503,36 @@ class Renderer:
             self.features = unpad(self._wf_state.features)
         return unpad(self._wf_state.film)
 
+    def wavefront_preview_film(self):
+        """Incomplete-path preview splat (mk_splat_preview.cl:13-25 role):
+        every in-flight path contributes its radiance accumulated SO FAR
+        (implicit hits + resolved NEE of earlier bounces) to its pixel as
+        a provisional sample, on top of the real accumulation — instant
+        (biased: remaining bounces missing) feedback during camera
+        motion. The reference force-overwrites because its microkernel
+        film is empty mid-sample; our wavefront film already holds the
+        splats of paths that finished inside the same segment, so the
+        partial paths are BLENDED in rather than overwriting. Pure view:
+        the accumulation state is untouched."""
+        from .core.integrator_wf import _block_geom
+        film = self.wavefront_film()
+        pool = self._wf_state.pool
+        cfg = self._wf_cfg
+        npx = cfg.num_pixels
+        if cfg.block_ring:
+            p_true, pk_ = _block_geom(cfg)
+            pid = (pool.pixel_index // pk_) * p_true \
+                + jnp.mod(pool.pixel_index, pk_)
+        else:
+            pid = jnp.mod(pool.pixel_index, npx)
+        pid = jnp.clip(pid, 0, npx - 1)
+        live = (pool.path_len >= 1).astype(jnp.float32)
+        cnt = jax.ops.segment_sum(live, pid, num_segments=npx)
+        splat = Vec3(*(jax.ops.segment_sum(c * live, pid, num_segments=npx)
+                       for c in (pool.Ei.x, pool.Ei.y, pool.Ei.z)))
+        color = Vec3(*(a + s for s, a in zip(splat, film.color)))
+        return Film(color=color, weight=film.weight + cnt)
+
     def render_single_wavefront(self, spp: int,
                                 num_tasks: Optional[int] = None,
                                 max_segments: int = 100000,

@@ -57,3 +57,36 @@ def test_interactive_material_edit(tmp_path):
     import jax.numpy as jnp
     kd0 = float(r.device_scene.mats.Kd.x[0])
     assert abs(kd0 - 0.9) < 1e-6
+
+
+def test_fast_preview_splat(tmp_path):
+    """`preview 1` renders one segment and force-splats incomplete paths
+    (splatPreview, mk_splat_preview.cl:13-25): covered pixels show pool
+    Ei, uncovered keep the accumulation; the accumulation is untouched."""
+    s = Settings()
+    s.use_env_map = True
+    s.use_area_light = False
+    s.max_path_depth = 2
+    s.camera.pos = (0.0, 1.0, 4.0)
+    s.camera.dir = (0.0, -0.15, -1.0)
+    s.wf_buffer_size = 2048
+    r = Renderer(16, 16, settings=s, data_dir=str(tmp_path / "data"))
+    r.load_scene("/root/reference/assets/teapot.ply",
+                 env_map="/root/reference/assets/env_maps/night.hdr")
+    out = str(tmp_path / "preview.png")
+    script = io.StringIO("preview 1\nw\nq\n")
+    n = run_interactive(r, out_path=out, input_stream=script, echo=False)
+    assert n == 3
+    assert os.path.exists(out)
+    # the preview film is a view: accumulation plus provisional samples
+    # from in-flight paths (weights grow by the live-lane counts)
+    pf = r.film
+    w = np.asarray(pf.weight)
+    acc = r.wavefront_film()
+    aw = np.asarray(acc.weight)
+    assert w.shape[0] == 256 and (w >= aw).all() and (w > aw).any()
+    # blended radiance is accumulation + partial Ei (never darker)
+    assert (np.asarray(pf.color.x) >= np.asarray(acc.color.x) - 1e-6).all()
+    # the preview image is not black
+    from fluctus_tpu.core.tonemap import postprocess
+    assert float(np.asarray(pf.color.x).sum()) > 0.0
