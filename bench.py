@@ -113,7 +113,10 @@ def _run_big(Renderer, Settings):
     s.camera.pos = (0.0, 14.0, 40.0)
     s.camera.dir = (0.0, -0.35, -1.0)
     r = Renderer(1920, 1080, settings=s, data_dir="data")
-    r.load_scene("data/bigscene/big_egyptcat_5x4.sc.json", env_map=ENV,
+    # BENCH_BIG_GRID=6x5 selects the ~481k-tri (country_kitchen scale)
+    # composition; default 5x4 = 320k (conference scale)
+    grid = os.environ.get("BENCH_BIG_GRID", "5x4")
+    r.load_scene(f"data/bigscene/big_egyptcat_{grid}.sc.json", env_map=ENV,
                  use_saved_state=False)
     num_tasks = int(os.environ.get("BENCH_TASKS", str(1 << 20)))
     segments = int(os.environ.get("BENCH_BIG_SEGMENTS", "24"))
@@ -126,7 +129,9 @@ def _run_big(Renderer, Settings):
     st = r.wavefront_stats()
     mrays = (int(st.primary_rays) + int(st.extension_rays)
              + int(st.shadow_rays)) / (1e6 * elapsed)
-    return {"metric": "Mrays/s/chip, 5x4 egyptcat grid (320k tris) 1080p",
+    n_tris = r.scene.triangle_arrays()[0].shape[0]
+    return {"metric": f"Mrays/s/chip, {grid} egyptcat grid "
+                      f"({n_tris // 1000}k tris) 1080p",
             "value": round(mrays, 2), "unit": "Mrays/s"}
 
 

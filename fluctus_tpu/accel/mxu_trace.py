@@ -559,13 +559,27 @@ class MXUScene:
                 .transpose(0, 2, 1)
                 .reshape(n_clusters * B16.COLS, cluster_size))
 
+        # slim (production at >64k tris): drop tables no runtime path can
+        # reach at that scale — attr_b16 only feeds b16t and resolve v3
+        # (replaced by v5), txy_t beyond the rol2/rol4 residency gate is
+        # unreachable, and tx/ty/tz serve only the rays-on-sublanes
+        # fallback (FLT_ROL=0). ~295 MB of HBM + cache at 481k tris.
+        tx = ty = tz = None
+        if slim:
+            attr_b16 = None
+            if txy_t.size * 4 > (12 << 20):
+                txy_t = None
+                fine_box = None
+        else:
+            tx = np.ascontiguousarray(t4[:, :, 0].T, np.float32)
+            ty = np.ascontiguousarray(t4[:, :, 1].T, np.float32)
+            tz = np.ascontiguousarray(t4[:, :, 2].T, np.float32)
+
         host = dict(
             sc_box=sc_box, sub_box=sub_box, fine_box=fine_box,
             attr_b16=attr_b16, attrs=attrs,
             b16t=b16t, txy_t=txy_t, t12=t12, t12b=t12b,
-            tx=np.ascontiguousarray(t4[:, :, 0].T, np.float32),
-            ty=np.ascontiguousarray(t4[:, :, 1].T, np.float32),
-            tz=np.ascontiguousarray(t4[:, :, 2].T, np.float32),
+            tx=tx, ty=ty, tz=tz,
             cluster_box=boxes, tri_map=tri_map,
             center=center.astype(np.float32))
         statics = dict(
@@ -1807,6 +1821,9 @@ def _dispatch_trace(o4, d4, tmax_col, scene, any_hit, ray_tile, interpret):
         return _trace_rol(o4, d4, tmax_col, scene.t12, scene.cluster_box,
                           (scene.n_clusters, scene.cluster_size),
                           any_hit, ROL_TILE, interpret)
+    assert scene.tx is not None, \
+        "rays-on-sublanes fallback unavailable on a slim MXUScene " \
+        "(vertex tables dropped at >64k tris; use the ROL/SC kernels)"
     return _trace(o4, d4, tmax_col,
                   (scene.tx, scene.ty, scene.tz, scene.cluster_box),
                   (scene.n_clusters, scene.cluster_size),

@@ -266,7 +266,8 @@ def wf_trace_phase(scene: DeviceScene, pool: WfPool, params: RenderParams,
     light = params.area_light if cfg.use_area_light else None
     raw = None
     if scene.mxu is not None and (scene.mxu.attrs is not None
-                                  or scene.mxu.attr_b16 is not None):
+                                  or scene.mxu.attr_b16 is not None
+                                  or scene.mxu.b16t is not None):
         raw = trace_extension_raw(pool.orig, pool.dir, scene)
     # non-pending lanes get tmax=0: the coherence sort pushes them to the
     # tail tiles, whose candidate lists are empty -> near-free occupancy cut

@@ -149,7 +149,8 @@ def trace_extension(orig: Vec3, d: Vec3, scene: DeviceScene,
     if scene.mxu is not None:
         from ..accel import mxu_trace as mt
         interp = _interpret_pallas()
-        if scene.mxu.attrs is not None or scene.mxu.attr_b16 is not None:
+        if (scene.mxu.attrs is not None or scene.mxu.attr_b16 is not None
+                or scene.mxu.b16t is not None):
             # gather-free: trace + attribute/material resolve on the MXU
             t, col = raw if raw is not None \
                 else trace_extension_raw(orig, d, scene)

@@ -149,3 +149,26 @@ def test_resolve_v5_matches_v2():
                   (mt.ATTR_NS, 1), (mt.ATTR_HITT, 1)):
         np.testing.assert_allclose(v5[c_:c_ + w].T, v2[:, c_:c_ + w],
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_slim_build_trims_dead_tables():
+    """slim mode (production at >64k tris) must keep only the tables the
+    runtime can reach at scale: B16 resolve (b16t/t12b), supercluster
+    trace (t12, boxes) — and drop attr_b16 / tx/ty/tz (and txy_t past the
+    rol residency gate), which cost ~295 MB of HBM at 481k tris."""
+    import numpy as np
+    from fluctus_tpu.accel import build_bvh
+    from fluctus_tpu.accel.mxu_trace import MXUScene
+    from fluctus_tpu.scene import Scene
+    s = Scene()
+    s.load_model("/root/reference/assets/teapot.ply")
+    p, n, t, m = s.triangle_arrays()
+    bvh = build_bvh(p)
+    mxu = MXUScene.build(p, bvh, cluster_size=256, normals=n, uvs=t,
+                         mat_ids=m, materials=s.materials, slim=True)
+    assert mxu.attr_b16 is None and mxu.attrs is None
+    assert mxu.tx is None and mxu.ty is None and mxu.tz is None
+    assert mxu.b16t is not None and mxu.t12 is not None
+    assert mxu.t12b is not None and mxu.cluster_box is not None
+    # teapot's txy_t is under the rol residency gate -> kept
+    assert mxu.txy_t is not None and mxu.fine_box is not None
