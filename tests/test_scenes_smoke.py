@@ -42,3 +42,15 @@ def test_egyptcat_textured():
     r, img = _render("/root/reference/assets/egyptcat/egyptcat.obj",
                      pos=(0.0, 1.0, 3.5), area_light=True)
     assert len(r.scene.textures) >= 1  # EgyptCat.png
+
+
+def test_bigscene_compositions_load():
+    """The conference/kitchen-scale .sc.json grids load with instancing
+    and reach the advertised triangle counts (no render: CPU-cheap)."""
+    from fluctus_tpu.scene import Scene
+    for grid, want in (("5x4", 320_000), ("6x5", 480_000)):
+        s = Scene()
+        s.load_model(f"data/bigscene/big_egyptcat_{grid}.sc.json")
+        p = s.triangle_arrays()[0]
+        assert p.shape[0] >= want, (grid, p.shape)
+        assert s.hash  # cacheable (BVH + MXU tables key on it)
