@@ -159,3 +159,21 @@ def test_state_reference_byte_layout(tmp_path):
     out = tmp_path / "state_out.dat"
     state_io.save_state(str(out), s, env_map_strength=env, exposure=exposure)
     assert out.read_bytes() == blob
+
+
+def test_plot_benchmarks_tool(tmp_path):
+    """tools/plot_benchmarks.py (reference repo-root plotter role) parses
+    the harness CSV schema and writes one PNG per scene."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "plot_benchmarks", "tools/plot_benchmarks.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    csv1 = tmp_path / "run1.csv"
+    csv1.write_text("scene;time;primary;extension;shadow;total;samples\n"
+                    "cat.obj;0.5;1;2;1;4;0.2\ncat.obj;1.0;2;3;2;7;0.4\n"
+                    "cat.obj;1.5;2;3;2;7;0.4\n")
+    out = mod.main([str(csv1), "--out-dir", str(tmp_path)])
+    assert len(out) == 1 and out[0].endswith("bench_cat.png")
+    import os
+    assert os.path.getsize(out[0]) > 1000
