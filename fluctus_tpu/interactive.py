@@ -21,6 +21,9 @@ Commands:
   mats               list materials (index, name, type, Kd, Ns, Ni)
   mat <i> <f> <v..>  edit material field (kd/ks/ke/kt: 3 floats;
                      ns/ni/d: 1) and re-upload (the UI sliders + F5)
+  scene <1-6|path>   quick-load a shortcut scene from settings (keys 1-6)
+                     or any scene file (full lifecycle swap)
+  sampling           cycle light-sampling mode MIS/explicit/implicit
   png <path>         write the current accumulation
   q                  quit
 """
@@ -140,6 +143,38 @@ def run_interactive(renderer, out_path: str = "preview.png",
                     print(f"  ? unknown material field: {field}")
                     continue
                 renderer.reload_materials()   # re-bake + retrace (F5)
+                refresh()
+            elif op == "scene":
+                # keys 1-6 quick-load (tracer.cpp:1198-1203) or a path
+                # (selectScene) — full scene lifecycle swap
+                arg = cmd[1]
+                path = (renderer.settings.shortcuts.get(int(arg))
+                        if arg.isdigit() else arg)
+                if not path:
+                    print(f"  ? no shortcut {arg} in settings")
+                    continue
+                env = renderer.scene.envmap.name \
+                    if getattr(renderer.scene, "envmap", None) else None
+                renderer.load_scene(path, env_map=env)
+                if echo:
+                    print(f"  scene: {path} "
+                          f"({renderer.scene.num_triangles} tris)")
+                refresh()
+            elif op == "sampling":
+                # cycle MIS -> explicit -> implicit -> MIS
+                # (toggleSamplingMode, tracer.cpp:1206-1224)
+                s = renderer.settings
+                if s.sample_implicit and s.sample_explicit:
+                    s.sample_implicit = False
+                    mode = "explicit"
+                elif s.sample_explicit:
+                    s.sample_explicit, s.sample_implicit = False, True
+                    mode = "implicit"
+                else:
+                    s.sample_explicit = s.sample_implicit = True
+                    mode = "MIS"
+                if echo:
+                    print(f"  sampling mode: {mode}")
                 refresh()
             elif op == "png":
                 renderer.film = renderer.wavefront_film()

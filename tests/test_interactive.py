@@ -90,3 +90,25 @@ def test_fast_preview_splat(tmp_path):
     # the preview image is not black
     from fluctus_tpu.core.tonemap import postprocess
     assert float(np.asarray(pf.color.x).sum()) > 0.0
+
+
+def test_scene_switch_and_sampling_cycle(tmp_path):
+    """REPL `scene` swaps the loaded scene (quickLoadScene / selectScene,
+    tracer.cpp:1198) and `sampling` cycles MIS -> explicit -> implicit."""
+    s = Settings()
+    s.use_env_map = True
+    s.use_area_light = False
+    s.max_path_depth = 2
+    s.wf_buffer_size = 2048
+    s.shortcuts[2] = "/root/reference/assets/psor/psor-cube.obj"
+    r = Renderer(8, 8, settings=s, data_dir=str(tmp_path / "data"))
+    r.load_scene("/root/reference/assets/teapot.ply",
+                 env_map="/root/reference/assets/env_maps/night.hdr")
+    n0 = r.scene.num_triangles
+    out = str(tmp_path / "p.png")
+    script = io.StringIO("spp 1\nscene 2\nsampling\nsampling\nq\n")
+    n = run_interactive(r, out_path=out, input_stream=script, echo=False)
+    assert n == 5
+    assert r.scene.num_triangles != n0          # psor-cube loaded
+    # MIS -> explicit -> implicit after two cycles
+    assert r.settings.sample_implicit and not r.settings.sample_explicit
