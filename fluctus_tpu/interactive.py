@@ -24,6 +24,9 @@ Commands:
   scene <1-6|path>   quick-load a shortcut scene from settings (keys 1-6)
                      or any scene file (full lifecycle swap)
   sampling           cycle light-sampling mode MIS/explicit/implicit
+  light              cycle light sources env/area/both
+  pick <x> <y>       set DoF focal distance from a scene pick (NDC
+                     coords in [0,1]; the right-click analogue)
   png <path>         write the current accumulation
   q                  quit
 """
@@ -176,6 +179,33 @@ def run_interactive(renderer, out_path: str = "preview.png",
                 if echo:
                     print(f"  sampling mode: {mode}")
                 refresh()
+            elif op == "light":
+                # cycle light mode env -> area -> both (toggleLightSource-
+                # Mode, tracer.cpp:1226-1248); needs a loaded env map
+                s = renderer.settings
+                if not getattr(renderer.scene, "envmap", None):
+                    print("  no environment map loaded")
+                    continue
+                if s.use_area_light and s.use_env_map:
+                    s.use_area_light, mode = False, "environment"
+                elif s.use_env_map:
+                    s.use_env_map, s.use_area_light = False, True
+                    mode = "area light"
+                else:
+                    s.use_env_map, mode = True, "both"
+                if echo:
+                    print(f"  light mode: {mode}")
+                refresh()
+            elif op == "pick":
+                # right-click DoF focal pick (tracer.cpp:1427-1433):
+                # NDC x y in [0,1], sets camera.focal_dist on a hit
+                ok = renderer.pick_dof_depth(float(cmd[1]), float(cmd[2]))
+                if echo:
+                    print(f"  focalDist = "
+                          f"{renderer.settings.camera.focal_dist:.4f}"
+                          if ok else "  no hit")
+                if ok:
+                    refresh()
             elif op == "png":
                 renderer.film = renderer.wavefront_film()
                 renderer.save_image(cmd[1])

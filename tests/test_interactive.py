@@ -112,3 +112,28 @@ def test_scene_switch_and_sampling_cycle(tmp_path):
     assert r.scene.num_triangles != n0          # psor-cube loaded
     # MIS -> explicit -> implicit after two cycles
     assert r.settings.sample_implicit and not r.settings.sample_explicit
+
+
+def test_light_cycle_and_pick(tmp_path):
+    """REPL `light` cycles env -> area -> both (toggleLightSourceMode)
+    and `pick` sets the DoF focal distance from a scene hit."""
+    s = Settings()
+    s.use_env_map = True
+    s.use_area_light = True
+    s.max_path_depth = 2
+    s.camera.pos = (0.0, 1.0, 4.0)
+    s.camera.dir = (0.0, -0.15, -1.0)
+    s.wf_buffer_size = 2048
+    r = Renderer(16, 16, settings=s, data_dir=str(tmp_path / "data"))
+    r.load_scene("/root/reference/assets/teapot.ply",
+                 env_map="/root/reference/assets/env_maps/night.hdr")
+    fd0 = r.settings.camera.focal_dist
+    out = str(tmp_path / "p.png")
+    script = io.StringIO("spp 1\nlight\npick 0.5 0.4\nq\n")
+    n = run_interactive(r, out_path=out, input_stream=script, echo=False)
+    assert n == 4
+    # both -> environment
+    assert r.settings.use_env_map and not r.settings.use_area_light
+    # the center-ish ray hits the teapot -> focal distance updated
+    assert r.settings.camera.focal_dist != fd0
+    assert 0.5 < r.settings.camera.focal_dist < 20.0
