@@ -40,6 +40,10 @@ def main(argv=None):
     ap.add_argument("-b", "--batch", action="store_true",
                     help="batch mode (main.cpp -b; already the default on "
                     "a headless host — accepted for parity)")
+    ap.add_argument("--serve", type=int, default=0, metavar="PORT",
+                    help="browser-based live viewer (the GL-window "
+                         "stand-in): serves the progressive frame over "
+                         "HTTP and accepts all REPL commands")
     ap.add_argument("--interactive", action="store_true",
                     help="headless interactive REPL (WASD camera, state "
                     "save/load, progressive preview — the Tracer-UI "
@@ -85,6 +89,12 @@ def main(argv=None):
         r.load_scene(scene_file, env_map=args.env)
         base = os.path.splitext(os.path.basename(scene_file))[0]
         out = args.output or f"output_{base}.png"
+
+        if args.serve:
+            from .viewer import serve
+            r.num_tasks = args.tasks
+            serve(r, port=args.serve, out_path=out)
+            continue
 
         if args.interactive:
             from .interactive import run_interactive
