@@ -26,6 +26,16 @@ FIXED_SCENES = [
     "assets/country_kitchen/Country-Kitchen.obj",
 ]
 
+# conference/country_kitchen geometry doesn't ship in this image (only
+# .mtl/textures) — the fixed protocol substitutes same-scale instanced
+# compositions so the 330k/500k-triangle tiers are still exercised
+FIXED_FALLBACKS = {
+    "assets/conference/conference.obj":
+        "data/bigscene/big_egyptcat_5x4.sc.json",        # ~320k tris
+    "assets/country_kitchen/Country-Kitchen.obj":
+        "data/bigscene/big_egyptcat_6x5.sc.json",        # ~481k tris
+}
+
 
 class BenchmarkResult:
     def __init__(self, scene, averages, csv_rows):
@@ -149,6 +159,13 @@ def run_benchmark(scenes=None, width=1024, height=1024, seconds=30.0,
     results = []
     for scene_file in (scenes or FIXED_SCENES):
         path = os.path.join(asset_root, scene_file)
+        if not os.path.exists(path) and scene_file in FIXED_FALLBACKS:
+            fb = FIXED_FALLBACKS[scene_file]
+            fb_path = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), fb)
+            if os.path.exists(fb_path):
+                print(f"{scene_file} missing -> stand-in {fb}")
+                scene_file, path = fb, fb_path
         if not os.path.exists(path):
             print(f"skipping missing scene {path}")
             continue

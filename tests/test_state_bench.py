@@ -177,3 +177,14 @@ def test_plot_benchmarks_tool(tmp_path):
     assert len(out) == 1 and out[0].endswith("bench_cat.png")
     import os
     assert os.path.getsize(out[0]) > 1000
+
+
+def test_fixed_benchmark_fallbacks():
+    """The fixed protocol substitutes same-scale grid compositions for the
+    non-shipping conference/country_kitchen scenes."""
+    import os
+    from fluctus_tpu.bench.harness import FIXED_FALLBACKS, FIXED_SCENES
+    assert FIXED_SCENES[1] in FIXED_FALLBACKS
+    assert FIXED_SCENES[2] in FIXED_FALLBACKS
+    for fb in FIXED_FALLBACKS.values():
+        assert os.path.exists(fb), fb
