@@ -121,7 +121,8 @@ def test_rol4_packed_fine_parity(teapot):
     np.testing.assert_allclose(np.asarray(t4).reshape(-1)[both], t_b[both],
                                rtol=2e-4)
     # any-hit: tmax just above the closest hit blocks; just below passes
-    t_hi = np.where(hitb, t_b * 1.01, 3.4e38).astype(np.float32)
+    t_hi = np.where(hitb, np.minimum(t_b, 1e30) * 1.01,
+                    3.4e38).astype(np.float32)
     _, ia = _trace_rol4(o4, d4, jnp.asarray(t_hi)[:, None], mxu.txy_t,
                         mxu.fine_box, static, True, 256, True)
     blocked = np.asarray(ia).reshape(-1) >= 0

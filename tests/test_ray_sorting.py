@@ -26,7 +26,7 @@ def test_sorted_trace_restores_order(monkeypatch):
     monkeypatch.setattr(mt, "_trace", fake_trace)
 
     class FakeScene:
-        tx = ty = tz = None
+        tx = ty = tz = 0    # non-None: _trace is monkeypatched anyway
         t12 = None          # forces the rays-on-sublanes dispatch
         txy_t = None
         fine_box = None
