@@ -103,6 +103,15 @@ def _block_geom(config: RenderConfig):
     return p_true, pk
 
 
+def padded_to_true_pid(config: RenderConfig, idx):
+    """Block-ring padded pixel index (group g, slot k -> g*Pk + k) to the
+    TRUE pixel id (g*P + k). Identity when the pool isn't block-bound."""
+    if not config.block_ring:
+        return idx
+    p_true, pk = _block_geom(config)
+    return (idx // pk) * p_true + jnp.mod(idx, pk)
+
+
 def unpad_pixels(arr, config: RenderConfig):
     """Padded per-pixel array [G*Pk(, C)] -> true layout [num_pixels(, C)].
     Identity when the block pool is off."""
@@ -650,8 +659,7 @@ def wf_logic_phase(scene: DeviceScene, params: RenderParams, state: WfState,
         curr_out = jnp.mod(state.curr_pixel + n_term_g, len_g)
         pixel_index = jnp.where(terminate, new_pixel, pool.pixel_index)
         # camera rays address TRUE pixels; padded id -> true id
-        g_of = pixel_index // pk_
-        cam_pid = g_of * p_true + jnp.mod(pixel_index, pk_)
+        cam_pid = padded_to_true_pid(cfg, pixel_index)
     else:
         rank, n_regen = exclusive_rank(terminate)
         new_pixel = pixel_base + jnp.mod(state.curr_pixel + rank, num_pixels)

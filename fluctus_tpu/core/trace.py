@@ -128,6 +128,9 @@ def trace_extension_raw(orig: Vec3, d: Vec3, scene: DeviceScene):
         t2, col2 = mt._sorted_trace(o4, d4, None, scene.mxu,
                                     False, rt, interp)
     else:
+        assert scene.mxu.tx is not None, \
+            "rays-on-sublanes fallback unavailable on a slim MXUScene " \
+            "(vertex tables dropped at >64k tris; unset FLT_SORT_RAYS=0)"
         t2, col2 = mt._trace(
             o4, d4, tmax_col,
             (scene.mxu.tx, scene.mxu.ty, scene.mxu.tz,

@@ -47,7 +47,9 @@ def run_interactive(renderer, out_path: str = "preview.png",
     processed = 0
 
     def refresh():
-        renderer.params = renderer._make_params()
+        # recompileKernels analogue: sampling/light toggles flip STATIC
+        # config flags — retrace, don't just update params
+        renderer.rebuild_config()
         renderer.reset()
         renderer.init_wavefront(renderer.num_tasks
                                 if getattr(renderer, "num_tasks", None)
@@ -62,7 +64,12 @@ def run_interactive(renderer, out_path: str = "preview.png",
         else:
             renderer.render_wavefront(segments)
             renderer.film = renderer.wavefront_film()
-        renderer.save_image(out_path)
+        # atomic frame swap: the --serve viewer polls this path while we
+        # write — a temp + os.replace keeps every GET a complete PNG
+        import os as _os
+        tmp = out_path + ".tmp" + _os.path.splitext(out_path)[1]
+        renderer.save_image(tmp)
+        _os.replace(tmp, out_path)
         import numpy as np
         spp = float(np.asarray(renderer.film.weight).mean())
         if echo:
@@ -85,7 +92,11 @@ def run_interactive(renderer, out_path: str = "preview.png",
         print("interactive mode — w/s/a/d/r/f, look, speed, fov, spp, "
               "save, load, png, q")
     for line in stream:
-        cmd = shlex.split(line.strip())
+        try:
+            cmd = shlex.split(line.strip())
+        except ValueError as e:      # unbalanced quote must not kill the
+            print(f"  parse error: {e}")   # REPL (or the --serve session)
+            continue
         if not cmd:
             continue
         op = cmd[0].lower()
@@ -192,7 +203,8 @@ def run_interactive(renderer, out_path: str = "preview.png",
                     s.use_env_map, s.use_area_light = False, True
                     mode = "area light"
                 else:
-                    s.use_env_map, mode = True, "both"
+                    s.use_env_map = s.use_area_light = True
+                    mode = "both"
                 if echo:
                     print(f"  light mode: {mode}")
                 refresh()

@@ -175,6 +175,22 @@ class Renderer:
             denoiser=s.use_denoiser,
             block_ring=block, groups=groups)
 
+    def rebuild_config(self):
+        """Re-derive the static RenderConfig flags from current settings —
+        the paramsUpdatePending -> recompileKernels path
+        (tracer.cpp:216-240): light/sampling toggles must retrace the
+        integrator (the flags are compile-time), not just update params."""
+        s = self.settings
+        self.config = self.config.replace(
+            use_env_map=s.use_env_map and self.scene.envmap is not None,
+            use_area_light=s.use_area_light,
+            sample_impl=s.sample_implicit,
+            sample_expl=s.sample_explicit,
+            use_roulette=s.use_russian_roulette,
+            max_spp=s.max_spp,
+            denoiser=s.use_denoiser)
+        self.params = self._make_params()
+
     def reload_materials(self):
         """Re-upload materials/textures after host-side edits (material
         type changes retrace via RenderConfig.material_types, the
@@ -514,18 +530,13 @@ class Renderer:
         splats of paths that finished inside the same segment, so the
         partial paths are BLENDED in rather than overwriting. Pure view:
         the accumulation state is untouched."""
-        from .core.integrator_wf import _block_geom
+        from .core.integrator_wf import padded_to_true_pid
         film = self.wavefront_film()
         pool = self._wf_state.pool
         cfg = self._wf_cfg
         npx = cfg.num_pixels
-        if cfg.block_ring:
-            p_true, pk_ = _block_geom(cfg)
-            pid = (pool.pixel_index // pk_) * p_true \
-                + jnp.mod(pool.pixel_index, pk_)
-        else:
-            pid = jnp.mod(pool.pixel_index, npx)
-        pid = jnp.clip(pid, 0, npx - 1)
+        pid = padded_to_true_pid(cfg, pool.pixel_index)
+        pid = jnp.clip(jnp.mod(pid, npx), 0, npx - 1)
         live = (pool.path_len >= 1).astype(jnp.float32)
         cnt = jax.ops.segment_sum(live, pid, num_segments=npx)
         splat = Vec3(*(jax.ops.segment_sum(c * live, pid, num_segments=npx)

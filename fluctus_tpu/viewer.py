@@ -65,9 +65,13 @@ class _QueueStream:
 
 
 def serve(renderer, port: int = 8000, out_path: str = "preview.png",
-          ready_event: threading.Event = None):
-    """Run the viewer: HTTP server on `port` + the interactive command
-    loop on the calling thread. Returns when the user sends `q`."""
+          ready_event: threading.Event = None, host: str = "127.0.0.1"):
+    """Run the viewer: HTTP server on `host:port` + the interactive
+    command loop on the calling thread. Returns when the user sends `q`.
+    Binds loopback only by default — the command channel is
+    unauthenticated (it can write files via `png <path>` and load
+    arbitrary scene paths), so reach it remotely via SSH port-forward
+    rather than exposing the port."""
     from .interactive import run_interactive
 
     stream = _QueueStream()
@@ -111,7 +115,7 @@ def serve(renderer, port: int = 8000, out_path: str = "preview.png",
             self.send_header("Location", "/")
             self.end_headers()
 
-    server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     if ready_event is not None:

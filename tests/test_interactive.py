@@ -112,6 +112,10 @@ def test_scene_switch_and_sampling_cycle(tmp_path):
     assert r.scene.num_triangles != n0          # psor-cube loaded
     # MIS -> explicit -> implicit after two cycles
     assert r.settings.sample_implicit and not r.settings.sample_explicit
+    # the STATIC config the jitted integrator branches on followed the
+    # settings (recompileKernels analogue) — not just the settings object
+    assert r.config.sample_impl and not r.config.sample_expl
+    assert r._wf_cfg.sample_impl and not r._wf_cfg.sample_expl
 
 
 def test_light_cycle_and_pick(tmp_path):
@@ -134,6 +138,8 @@ def test_light_cycle_and_pick(tmp_path):
     assert n == 4
     # both -> environment
     assert r.settings.use_env_map and not r.settings.use_area_light
+    assert r.config.use_env_map and not r.config.use_area_light
+    assert not r._wf_cfg.use_area_light
     # the center-ish ray hits the teapot -> focal distance updated
     assert r.settings.camera.focal_dist != fd0
     assert 0.5 < r.settings.camera.focal_dist < 20.0

@@ -55,8 +55,15 @@ def main(argv=None):
         ap.error("no CSV files found")
     columns = [c.strip() for c in args.columns.split(",") if c.strip()]
 
-    runs = {os.path.splitext(os.path.basename(p))[0]: read_run(p)
-            for p in files}
+    # label runs by basename stem; fall back to the full path when stems
+    # collide (e.g. before/bench.csv vs after/bench.csv) so no run is
+    # silently dropped from the overlay
+    stems = [os.path.splitext(os.path.basename(p))[0] for p in files]
+    runs = {}
+    for p, stem in zip(files, stems):
+        label = stem if stems.count(stem) == 1 \
+            else os.path.splitext(p)[0].replace(os.sep, "/")
+        runs[label] = read_run(p)
     scene_names = sorted({s for run in runs.values() for s in run})
 
     import matplotlib
