@@ -2511,7 +2511,11 @@ def resolve_hits_mxu(orig: Vec3, d: Vec3, t, col, scene: MXUScene,
     o4, d4, _ = _ray_inputs(orig, d, scene, None, ray_tile)
     col2, _ = _pad_rays(col.reshape(n, 1), ray_tile)
     resolve_v = _os.environ.get("FLT_RESOLVE_V", RESOLVE_V)
-    if not interpret and scene.b16t is not None and resolve_v == "5":
+    # "3"/"4" were earlier B16-resolve generations (replaced by v5) —
+    # honor them as the B16 path rather than silently falling through to
+    # the f32 fallback, which no longer exists on slim scenes
+    if not interpret and scene.b16t is not None \
+            and resolve_v in ("3", "4", "5"):
         table_b = scene.b16t.size * 2 + scene.t12b.size * 4
         if table_b <= _RESOLVE_V2_VMEM_BYTES:
             out = _resolve_v5(col2, o4, d4, scene.b16t, scene.t12b,

@@ -70,6 +70,11 @@ def plan(num_pixels: int, num_tasks: int, groups: int):
         raise ValueError(f"num_tasks {num_tasks} % groups {groups} != 0")
     if groups > num_pixels:
         raise ValueError(f"groups {groups} > {num_pixels} pixels")
+    if groups > GB and groups % GB:
+        # splat/fetch batch GB groups per kernel instance (grid = g//GB);
+        # a non-multiple would silently drop the tail groups' splats
+        raise ValueError(f"groups {groups} > {GB} must be a multiple of "
+                         f"{GB} (kernel grid batches {GB} groups)")
     s = num_tasks // groups
     p = -(-num_pixels // groups)          # ceil
     pk = -(-p // 128) * 128
@@ -200,6 +205,7 @@ def splat(local, data, film, groups: int, remaining=None,
         return film + acc.T
 
     gb = min(g, GB)
+    assert g % gb == 0, f"groups {g} must be a multiple of {gb}"
     ni = g // gb
     loct = _loct(local, g, s)
     loct_spec = pl.BlockSpec((s, gb), lambda i: (0, i),
@@ -238,6 +244,7 @@ def fetch(local, table, groups: int, interpret: bool = False):
         pid = (jnp.arange(n, dtype=jnp.int32) // s) * pk + local
         return jnp.take(table[0], pid)
     gb = min(g, GB)
+    assert g % gb == 0, f"groups {g} must be a multiple of {gb}"
     ni = g // gb
     out = pl.pallas_call(
         partial(_fetch_kernel, s=s, pk=pk, gb=gb),

@@ -13,7 +13,7 @@ Untestable in this image (one process, one chip), so the logic is split:
 `init_distributed` performs the environment-driven initialization (pure
 plumbing, gated behind FLT_MULTIHOST), while `host_mesh_layout` — the part
 that can be wrong — is a pure function unit-tested on synthetic device
-lists (tests/test_graft_entry.py::test_host_mesh_layout).
+lists (tests/test_mk_sharded.py::test_host_mesh_layout).
 """
 
 from __future__ import annotations

@@ -153,8 +153,15 @@ class Renderer:
         # cost scales with pool_lanes * Pk)
         npx = self.width * self.height
         ntasks = s.wf_buffer_size
+        def _lane_waste(g):
+            # ceil-division can leave a tail of EMPTY groups whose lanes
+            # render discarded phantom pixels forever (e.g. 16512 px at
+            # g=4096: 19% of the pool) — bound that waste when picking g
+            p = -(-npx // g)
+            return (g - -(-npx // p)) / g
         groups = 4096
-        while groups > 1 and (npx < 4 * groups or ntasks % groups):
+        while groups > 1 and (npx < 4 * groups or ntasks % groups
+                              or _lane_waste(groups) > 1 / 16):
             groups //= 2
         block = (on_tpu and groups > 1
                  and os.environ.get("FLT_BLOCK_RING", "1") == "1")

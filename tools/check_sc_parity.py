@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """TPU parity checks for the large-scene traversal tier.
 
-Small scenes (egyptcat): supercluster trace kernel + streamed resolve (v4)
+Small scenes (egyptcat): supercluster trace kernel + streamed resolve (v5s)
 vs the flat production kernels (forced via FLT_SC_THRESHOLD), exact match
 expected.
 
