@@ -54,14 +54,14 @@ from .bvh import BVHArrays
 F32_MAX = np.float32(3.4028235e38)
 HIGHEST = jax.lax.Precision.HIGHEST
 
-import os as _os_env
+import os as _os
 # supercluster granularity (member clusters per super, build-time) and the
 # cluster count above which the two-level kernel takes over (dispatch-time):
 # below it the flat candidate list is cheaper
-SC_CLUSTERS = int(_os_env.environ.get("FLT_SC_CLUSTERS", "64"))
-SC_THRESHOLD = int(_os_env.environ.get("FLT_SC_THRESHOLD", "96"))
+SC_CLUSTERS = int(_os.environ.get("FLT_SC_CLUSTERS", "64"))
+SC_THRESHOLD = int(_os.environ.get("FLT_SC_THRESHOLD", "96"))
 # fine-cull granularity and sub-slots per packed visit for the rol4 kernel
-FINE_SIZE = int(_os_env.environ.get("FLT_FINE_SIZE", "64"))
+FINE_SIZE = int(_os.environ.get("FLT_FINE_SIZE", "64"))
 
 # bump when any table layout changes (ATTR_*/B16 columns, transform packing,
 # cluster/supercluster cut rules) — invalidates on-disk table caches
@@ -613,7 +613,7 @@ class MXUScene:
         applied to the MXU tables, which otherwise cost ~20 s of host
         numpy at 320k tris on every run. The caller keys ``cache_path``
         by scene hash + split mode + cluster size + B16_LAYOUT_VERSION."""
-        if cache_path and _os_env.path.exists(cache_path):
+        if cache_path and _os.path.exists(cache_path):
             z = np.load(cache_path, allow_pickle=False)
             host = {k: (None if z[k].ndim == 0 else z[k])
                     for k in ("sc_box", "sub_box", "fine_box", "attr_b16",
@@ -632,7 +632,7 @@ class MXUScene:
             return MXUScene._from_host(host, statics)
         host, statics = MXUScene.build(positions, bvh, return_host=True, **kw)
         if cache_path:
-            _os_env.makedirs(_os_env.path.dirname(cache_path), exist_ok=True)
+            _os.makedirs(_os.path.dirname(cache_path), exist_ok=True)
             out = {k: (np.zeros(()) if v is None else
                        (v.view(np.uint16) if k in ("attr_b16", "b16t")
                         else v))
@@ -640,7 +640,7 @@ class MXUScene:
             out.update(statics)
             tmp = cache_path + ".tmp.npz"   # .npz suffix: savez won't append
             np.savez(tmp, **out)
-            _os_env.replace(tmp, cache_path)
+            _os.replace(tmp, cache_path)
         return MXUScene._from_host(host, statics)
 
 
@@ -1780,7 +1780,6 @@ def _trace(o4, d4, tmax_col, scene_arrays, scene_static, any_hit, ray_tile,
     return out
 
 
-import os as _os
 RAY_TILE = int(_os.environ.get("FLT_RAY_TILE", "512"))
 SORT_RAYS = _os.environ.get("FLT_SORT_RAYS", "1") == "1"
 ROL = _os.environ.get("FLT_ROL", "1") == "1"
@@ -2528,7 +2527,9 @@ def resolve_hits_mxu(orig: Vec3, d: Vec3, t, col, scene: MXUScene,
                                ray_tile, interpret)
         return out[:, :n]
     assert scene.attrs is not None, \
-        "slim MXUScene requires the B16 resolve path (FLT_RESOLVE_V=5)"
+        "slim MXUScene has only the B16 resolve (f32 attrs dropped): " \
+        "unset FLT_RESOLVE_V=1/2, and rebuild with slim=False for " \
+        "interpret-mode (CPU) debugging"
     table_bytes = (scene.attrs.size + scene.txy_t.size) * 4
     if not interpret and table_bytes <= _RESOLVE_V2_VMEM_BYTES:
         out = _resolve_v2(col2, o4, d4, scene.txy_t, scene.attrs,

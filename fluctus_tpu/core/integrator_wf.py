@@ -152,6 +152,11 @@ def wf_reset(config: RenderConfig, num_tasks: int, world_radius=1.0) -> WfState:
     pixels' spp is parked at a huge value so exact-spp termination
     (min over spp) ignores them."""
     n = num_tasks
+    if config.block_ring:
+        # canonical geometry validation (raises on num_tasks % groups,
+        # groups > pixels, non-GB-multiple group counts) — wf_reset is
+        # the single entry point every pool passes through
+        config.block_plan(num_tasks)
     z = jnp.zeros(n, jnp.float32)
     pool = WfPool(
         orig=Vec3(z, z, z), dir=Vec3(z, z, jnp.ones(n)),

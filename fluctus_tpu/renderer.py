@@ -346,9 +346,14 @@ class Renderer:
             if getattr(self, "_wf_state", None) is not None and \
                     self._wf_state.features is not None:
                 # carry restored guide buffers into the wavefront state too,
-                # else wavefront_film() overwrites them with wf_reset zeros
+                # else wavefront_film() overwrites them with wf_reset zeros.
+                # Checkpoints store TRUE pixel layout — the block-mode
+                # state is PADDED, so pad like the film/spp above.
+                from .core.integrator_wf import pad_pixels as _pp
+                padf = lambda tree: jax.tree_util.tree_map(
+                    lambda a: _pp(a, self._wf_cfg), tree)
                 self._wf_state = self._wf_state._replace(
-                    features=self.features)
+                    features=padf(self.features))
         return True
 
     # -- rendering -----------------------------------------------------------
@@ -442,6 +447,12 @@ class Renderer:
         """Advance the wavefront `segments` steps (Tracer::update loop body,
         tracer.cpp:269-283). Dispatch is asynchronous: the host runs ahead
         and only synchronizes at the end (the reference's finishQueue)."""
+        if getattr(self, "_wf_exact_mode", False):
+            # a prior render_single_wavefront left the exact-spp state
+            # (max_spp cap compiled in) active — continuing free-running
+            # would silently block every splat. Re-init, like the
+            # reference's integrator toggle resets accumulation.
+            self.init_wavefront(self.num_tasks)
         cfg = self._wf_cfg
         defer = (self._wf_phased and cfg.max_spp == 0
                  and not cfg.block_ring and self._splat_every > 1)
@@ -598,6 +609,7 @@ class Renderer:
         self._wf_exact_target = target
         self._wf_state = state
         self._wf_cfg = cfg
+        self._wf_exact_mode = True   # render_wavefront must re-init
         self._wf_counters = counters
         if state.features is not None:
             self.features = unpad(state.features)

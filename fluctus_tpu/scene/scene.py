@@ -123,6 +123,22 @@ class Scene:
                     pbrt_cache.save_cache(filename, h, self)
         elif filename.endswith(".sc.json"):
             self.load_scene_file(filename)
+            if transform is None:
+                # the BVH/MXU caches key on this hash, and the baked
+                # tables depend on the REFERENCED models' geometry — a
+                # json-only hash would serve stale caches after an .obj
+                # edit. Chain the referenced files' content hashes in.
+                folder = os.path.dirname(filename)
+                h = hashlib.blake2b(file_hash(filename).encode(),
+                                    digest_size=8)
+                with open(filename) as f:
+                    for info in json.load(f):
+                        sub = info["file"]
+                        path = sub if os.path.isabs(sub) \
+                            else os.path.join(folder, sub)
+                        h.update(file_hash(path).encode())
+                self.hash = str(int.from_bytes(h.digest(), "little"))
+            return
         else:
             raise ValueError(f"unknown scene format: {filename}")
         if transform is None:
