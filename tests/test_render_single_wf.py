@@ -36,3 +36,27 @@ def test_exact_spp_wavefront_matches_mk():
     assert np.isfinite(img_wf).all()
     diff = np.abs(img_wf.mean() - img_mk.mean()) / max(img_mk.mean(), 1e-9)
     assert diff < 0.15
+
+
+def test_free_running_after_exact_reinitializes():
+    """render_wavefront after render_single_wavefront must not inherit the
+    exact-spp capped config (which would silently block every splat): the
+    free-running path re-initializes, like the reference's integrator
+    toggle resets accumulation."""
+    s = Settings()
+    s.use_env_map = True
+    s.use_area_light = False
+    s.max_path_depth = 2
+    s.camera.pos = (0.0, 1.0, 4.0)
+    s.camera.dir = (0.0, -0.15, -1.0)
+    s.wf_buffer_size = 2048
+    r = Renderer(16, 16, settings=s, data_dir="/tmp/rswf2")
+    r.load_scene("/root/reference/assets/teapot.ply",
+                 env_map="/root/reference/assets/env_maps/night.hdr")
+    r.init_wavefront()
+    r.render_single_wavefront(spp=2)
+    assert r._wf_cfg.max_spp == 1          # capped exact config active
+    r.render_wavefront(4)
+    assert r._wf_cfg.max_spp == 0          # re-initialized, cap off
+    w = np.asarray(r.wavefront_film().weight)
+    assert w.sum() > 0                      # splats actually accumulated
