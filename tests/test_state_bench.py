@@ -188,3 +188,22 @@ def test_fixed_benchmark_fallbacks():
     assert FIXED_SCENES[2] in FIXED_FALLBACKS
     for fb in FIXED_FALLBACKS.values():
         assert os.path.exists(fb), fb
+
+
+def test_fixed_benchmark_runs_small(tmp_path, monkeypatch):
+    """run_benchmark end-to-end on a tiny scene/size (wiring check for
+    the fixed protocol path, tracer.cpp:391-565)."""
+    from fluctus_tpu.bench.harness import run_benchmark
+    from fluctus_tpu.settings import Settings
+    s = Settings()
+    s.use_env_map = True
+    s.use_area_light = False
+    s.max_path_depth = 2
+    s.wf_buffer_size = 1024
+    s.use_wavefront = True
+    monkeypatch.chdir(tmp_path)
+    res = run_benchmark(scenes=["/root/reference/assets/teapot.ply"],
+                        width=16, height=16, seconds=1.0, settings=s)
+    assert len(res) == 1
+    assert res[0].averages["total"] >= 0.0
+    assert res[0].averages["elapsed"] > 0.0
