@@ -1023,6 +1023,197 @@ def _trace_rol_sc(o4, d4, tmax_col, t12, boxes, sc_boxes, scene_static,
 SUB = 128     # sub-block granularity (lane slices must stay 128-aligned)
 
 
+def _trace_kernel_rol_sc3(o_ref, tm_ref, ord_ref, cons_ref, t12_ref,
+                          box_ref, sbox_ref, scb_ref, t_ref, i_ref, *,
+                          rt, tc, n_sc, any_hit):
+    """Supercluster sweep with SUB-triangle sub-block culling inside each
+    live cluster (the rol3 gate applied at the sc tier): a live cluster's
+    pair math runs per 128-tri sub-block, each gated by its own [1, rt]
+    slab against the sub-block AABB. Bounce tiles at conference scale
+    enter many clusters only marginally — the finer gate skips the halves
+    none of the tile's rays can reach (rol4's fine-cull finding applied
+    where t12 lane slicing forces 128 alignment)."""
+    nsb = tc // SUB
+    O = o_ref[0]                      # [8, rt]
+    o0, o1, o2 = O[0:1], O[1:2], O[2:3]
+    d0, d1, d2 = O[4:5], O[5:6], O[6:7]
+    eps = 1e-30
+    i0 = 1.0 / jnp.where(d0 == 0.0, eps, d0)
+    i1 = 1.0 / jnp.where(d1 == 0.0, eps, d1)
+    i2 = 1.0 / jnp.where(d2 == 0.0, eps, d2)
+    tm = tm_ref[0]
+    t_ref[0] = tm
+    i_ref[0] = jnp.full((1, rt), -1, jnp.int32)
+    rowbits = SUB - 1
+
+    def slab6(b0, b1, b2, b3, b4, b5, t_best):
+        ax = (b0 - o0) * i0
+        bx = (b3 - o0) * i0
+        ay = (b1 - o1) * i1
+        by = (b4 - o1) * i1
+        az = (b2 - o2) * i2
+        bz = (b5 - o2) * i2
+        tnear = jnp.maximum(jnp.maximum(jnp.minimum(ax, bx),
+                                        jnp.minimum(ay, by)),
+                            jnp.minimum(az, bz))
+        tfar = jnp.minimum(jnp.minimum(jnp.maximum(ax, bx),
+                                       jnp.maximum(ay, by)),
+                           jnp.maximum(az, bz))
+        hit = (tfar >= 0.0) & (tnear <= tfar) & (tnear < t_best)
+        if any_hit:
+            hit = hit & (i_ref[0] < 0)
+        return hit
+
+    def cond(carry):
+        slot, stop = carry
+        return (slot < n_sc) & ~stop
+
+    def body(carry):
+        slot, _ = carry
+        s = ord_ref[0, slot, 0]
+        srow = scb_ref[jnp.maximum(s, 0), :]
+        live_sc = jnp.any(slab6(srow[0], srow[1], srow[2], srow[3],
+                                srow[4], srow[5], t_ref[0])) & (s >= 0)
+
+        @pl.when(live_sc)
+        def _():
+            c0 = srow[6].astype(jnp.int32)
+            cnt = srow[7].astype(jnp.int32)
+
+            def inner(k, _):
+                c = c0 + k
+                t_best0 = t_ref[0]
+                box = box_ref[c, :]
+                live = jnp.any(slab6(box[0], box[1], box[2], box[3],
+                                     box[4], box[5], t_best0)) \
+                    & (jnp.max(t_best0) > 0.0)
+
+                @pl.when(live)
+                def _():
+                    for sb in range(nsb):
+                        t_best = t_ref[0]
+                        sbox = sbox_ref[c * nsb + sb, :]
+                        sub_live = jnp.any(slab6(
+                            sbox[0], sbox[1], sbox[2], sbox[3], sbox[4],
+                            sbox[5], t_best))
+
+                        @pl.when(sub_live)
+                        def _(sb=sb, t_best=t_best):
+                            off = pl.multiple_of(c * tc + sb * SUB, 128)
+                            TT = t12_ref[:, pl.ds(off, SUB)].T  # [SUB, 12]
+                            oz = o0 * TT[:, 8:9] + o1 * TT[:, 9:10] \
+                                + o2 * TT[:, 10:11] + TT[:, 11:12]
+                            dz = d0 * TT[:, 8:9] + d1 * TT[:, 9:10] \
+                                + d2 * TT[:, 10:11]
+                            t = -oz / jnp.where(dz == 0.0, 1.0, dz)
+                            ox = o0 * TT[:, 0:1] + o1 * TT[:, 1:2] \
+                                + o2 * TT[:, 2:3] + TT[:, 3:4]
+                            dx = d0 * TT[:, 0:1] + d1 * TT[:, 1:2] \
+                                + d2 * TT[:, 2:3]
+                            u = ox + t * dx
+                            oy = o0 * TT[:, 4:5] + o1 * TT[:, 5:6] \
+                                + o2 * TT[:, 6:7] + TT[:, 7:8]
+                            dy = d0 * TT[:, 4:5] + d1 * TT[:, 5:6] \
+                                + d2 * TT[:, 6:7]
+                            v = oy + t * dy
+                            valid = (dz != 0.0) & (t > 0.0) & \
+                                (jnp.minimum(jnp.minimum(u, v),
+                                             1.0 - u - v) >= 0.0)
+                            if any_hit:
+                                tcand = jnp.where(valid, t, F32_MAX)
+                                tmin = jnp.min(tcand, axis=0, keepdims=True)
+                                blocked = tmin < t_best
+                                i_ref[0] = jnp.where(blocked, 1, i_ref[0])
+                                t_ref[0] = jnp.where(blocked, 0.0, t_ref[0])
+                            else:
+                                row = jax.lax.broadcasted_iota(
+                                    jnp.int32, (SUB, rt), 0)
+                                key = (pltpu.bitcast(t, jnp.int32)
+                                       & ~rowbits) | row
+                                key = jnp.where(valid, key,
+                                                jnp.int32(0x7F800000))
+                                kmin = jnp.min(key, axis=0, keepdims=True)
+                                tmin = pltpu.bitcast(kmin & ~rowbits,
+                                                     jnp.float32)
+                                better = tmin < t_best
+                                t_ref[0] = jnp.where(better, tmin, t_ref[0])
+                                i_ref[0] = jnp.where(
+                                    better,
+                                    (kmin & rowbits) + c * tc + sb * SUB,
+                                    i_ref[0])
+                return 0
+
+            jax.lax.fori_loop(0, cnt, inner, 0)
+
+        nxt = slot + 1
+        guard = jnp.minimum(nxt, n_sc - 1)
+        t_worst = jnp.max(t_ref[0])
+        stop = (ord_ref[0, guard, 0] < 0) \
+            | (cons_ref[0, guard, 0] > t_worst) | (t_worst <= 0.0)
+        return nxt, stop
+
+    t_worst0 = jnp.max(tm)
+    stop0 = (ord_ref[0, 0, 0] < 0) | (cons_ref[0, 0, 0] > t_worst0) \
+        | (t_worst0 <= 0.0)
+    jax.lax.while_loop(cond, body, (jnp.int32(0), stop0))
+
+
+@partial(jax.jit, static_argnames=("scene_static", "any_hit", "ray_tile",
+                                   "interpret"))
+def _trace_rol_sc3(o4, d4, tmax_col, t12, boxes, sboxes, sc_boxes,
+                   scene_static, any_hit, ray_tile, interpret):
+    """Supercluster dispatch with in-cluster sub-block culling
+    (FLT_SC_SUB=1)."""
+    n_sc, tc = scene_static
+    rt = ray_tile
+    b = o4.shape[0]
+    nt = b // rt
+
+    order, cons = _tile_order_dispatch(o4, d4, tmax_col, sc_boxes, rt,
+                                       interpret)
+    nsc_pad = order.shape[1]
+
+    rays = jnp.stack([o4[:, 0], o4[:, 1], o4[:, 2], o4[:, 3],
+                      d4[:, 0], d4[:, 1], d4[:, 2], d4[:, 3]], axis=0)
+    rays = rays.reshape(8, nt, rt).transpose(1, 0, 2)
+    tm = tmax_col.reshape(nt, 1, rt)
+
+    kernel = partial(_trace_kernel_rol_sc3, rt=rt, tc=tc,
+                     n_sc=nsc_pad, any_hit=any_hit)
+    t, i = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, 8, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nsc_pad, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nsc_pad, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # t12 resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cluster boxes
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sub-block boxes
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # supercluster rows
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, 1, rt), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 1, rt), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(t12.size * 4 + (40 << 20), 127 << 20)),
+        interpret=interpret,
+    )(rays, tm, order, cons, t12, boxes, sboxes, sc_boxes)
+    return t.reshape(b, 1), i.reshape(b, 1)
+
+
 def _trace_kernel_rol3(o_ref, tm_ref, ord_ref, cons_ref, t12_ref, box_ref,
                        sbox_ref, t_ref, i_ref, *, rt, tc, n_clusters,
                        any_hit):
@@ -1796,6 +1987,13 @@ def _dispatch_trace(o4, d4, tmax_col, scene, any_hit, ray_tile, interpret):
     sc_threshold = int(_os.environ.get("FLT_SC_THRESHOLD", str(SC_THRESHOLD)))
     if ROL and scene.sc_box is not None and scene.t12 is not None \
             and scene.n_clusters > sc_threshold and not interpret:
+        if _os.environ.get("FLT_SC_SUB", "0") == "1" \
+                and scene.sub_box is not None:
+            return _trace_rol_sc3(
+                o4, d4, tmax_col, scene.t12, scene.cluster_box,
+                scene.sub_box, scene.sc_box,
+                (scene.n_superclusters, scene.cluster_size),
+                any_hit, ROL_TILE, interpret)
         return _trace_rol_sc(o4, d4, tmax_col, scene.t12, scene.cluster_box,
                              scene.sc_box,
                              (scene.n_superclusters, scene.cluster_size),
