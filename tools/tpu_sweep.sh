@@ -27,5 +27,7 @@ timeout 1800 env BENCH_BIG=0 BENCH_SEGMENTS=24 FLT_ROL_V=1 FLT_KEY=none python b
 # 3. big-scene entry (320k supercluster path) — first real-TPU run
 say "big scene 320k (conference scale)"
 timeout 2400 env BENCH_BIG=1 BENCH_SEGMENTS=8 python bench.py 2>/dev/null | tee -a $LOG
+say "big scene 320k + FLT_SC_SUB=1 (in-cluster sub-block culling)"
+timeout 2400 env BENCH_BIG=1 BENCH_SEGMENTS=8 FLT_SC_SUB=1 python bench.py 2>/dev/null | tee -a $LOG
 
 echo done | tee -a $LOG
