@@ -1645,16 +1645,33 @@ def _trace_kernel_rol4(o_ref, tm_ref, ord_ref, cons_ref, txy_ref, box_ref,
 @partial(jax.jit, static_argnames=("scene_static", "any_hit", "ray_tile",
                                    "interpret"))
 def _trace_rol4(o4, d4, tmax_col, txy_t, fine_boxes, scene_static, any_hit,
-                ray_tile, interpret):
+                ray_tile, interpret, coarse_boxes=None):
     """Packed fine-cluster dispatch: candidate lists at FINE_SIZE
-    granularity against the resident [Mpad, 12] transform table."""
+    granularity against the resident [Mpad, 12] transform table.
+
+    With ``coarse_boxes`` (FLT_ROL4_COARSE=1) the per-tile candidate
+    generation runs at CLUSTER granularity — 1/r the slab/sort work —
+    and survivors expand to their r fine blocks, inheriting the parent's
+    conservative tnear (monotone, so the front-to-back early-out stays
+    valid); the kernel's own per-visit fine slabs do the precise cull."""
     n_fine, fc, pk = scene_static
     rt = ray_tile
     b = o4.shape[0]
     nt = b // rt
 
-    order, cons = _tile_order_dispatch(o4, d4, tmax_col, fine_boxes, rt,
-                                       interpret)
+    if coarse_boxes is not None:
+        r = n_fine // coarse_boxes.shape[0]   # fine blocks per cluster
+        order_c, cons_c = _tile_order_dispatch(o4, d4, tmax_col,
+                                               coarse_boxes, rt, interpret)
+        oc = order_c[:, :, 0]                       # [nt, ncl_pad]
+        kid = jnp.arange(r, dtype=jnp.int32)
+        ex = jnp.where(oc[:, :, None] >= 0,
+                       oc[:, :, None] * r + kid, jnp.int32(-1))
+        order = ex.reshape(nt, -1, 1)
+        cons = jnp.repeat(cons_c, r, axis=1)
+    else:
+        order, cons = _tile_order_dispatch(o4, d4, tmax_col, fine_boxes,
+                                           rt, interpret)
     nfc_pad = order.shape[1]
 
     rays = jnp.stack([o4[:, 0], o4[:, 1], o4[:, 2], o4[:, 3],
@@ -2002,9 +2019,12 @@ def _dispatch_trace(o4, d4, tmax_col, scene, any_hit, ray_tile, interpret):
             and not interpret and ROL_V == "4" \
             and scene.txy_t.size * 4 <= (12 << 20):
         pk = int(_os.environ.get("FLT_PACK", "4"))
+        coarse = scene.cluster_box \
+            if _os.environ.get("FLT_ROL4_COARSE", "0") == "1" else None
         return _trace_rol4(o4, d4, tmax_col, scene.txy_t, scene.fine_box,
                            (scene.fine_box.shape[0], FINE_SIZE, pk),
-                           any_hit, ROL_TILE, interpret)
+                           any_hit, ROL_TILE, interpret,
+                           coarse_boxes=coarse)
     if ROL and scene.sub_box is not None and not interpret and ROL_V == "3":
         return _trace_rol3(o4, d4, tmax_col, scene.t12, scene.cluster_box,
                            scene.sub_box,

@@ -127,3 +127,25 @@ def test_rol4_packed_fine_parity(teapot):
                         mxu.fine_box, static, True, 256, True)
     blocked = np.asarray(ia).reshape(-1) >= 0
     assert (blocked == hitb).mean() > 0.998
+
+
+def test_rol4_coarse_expansion_parity(teapot):
+    """FLT_ROL4_COARSE: candidate lists generated at cluster granularity
+    and expanded to fine blocks must give identical winners."""
+    from fluctus_tpu.accel.mxu_trace import FINE_SIZE, _trace_rol4
+    p, mxu, _ = teapot
+    o, d = _rays(p, 512, seed=9)
+    on = np.stack([np.asarray(o.x), np.asarray(o.y), np.asarray(o.z)], 1)
+    dn = np.stack([np.asarray(d.x), np.asarray(d.y), np.asarray(d.z)], 1)
+    oc = on - np.asarray(mxu.center)
+    o4 = jnp.asarray(np.concatenate([oc, np.ones((512, 1))], 1), jnp.float32)
+    d4 = jnp.asarray(np.concatenate([dn, np.zeros((512, 1))], 1),
+                     jnp.float32)
+    tm = jnp.full((512, 1), 3.4e38, jnp.float32)
+    st = (mxu.fine_box.shape[0], FINE_SIZE, 4)
+    t_f, i_f = _trace_rol4(o4, d4, tm, mxu.txy_t, mxu.fine_box, st,
+                           False, 256, True)
+    t_c, i_c = _trace_rol4(o4, d4, tm, mxu.txy_t, mxu.fine_box, st,
+                           False, 256, True, coarse_boxes=mxu.cluster_box)
+    np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_c))
+    np.testing.assert_array_equal(np.asarray(t_f), np.asarray(t_c))

@@ -13,12 +13,15 @@ run FLT_ROL_V=4 FLT_PACK=2
 run FLT_ROL_V=4 FLT_PACK=8
 run FLT_ROL_V=4 FLT_PACK=4 FLT_ROL_TILE=256
 run FLT_ROL_V=4 FLT_PACK=4 FLT_ROL_TILE=128
+run FLT_ROL_V=4 FLT_PACK=4 FLT_ROL4_COARSE=1
 
 # 2. end-to-end A/Bs (egyptcat 1080p, 24 segments)
 say "e2e ROL_V=1 baseline"
 timeout 1800 env BENCH_BIG=0 BENCH_SEGMENTS=24 FLT_ROL_V=1 python bench.py 2>/dev/null | tee -a $LOG
 say "e2e ROL_V=4"
 timeout 1800 env BENCH_BIG=0 BENCH_SEGMENTS=24 FLT_ROL_V=4 python bench.py 2>/dev/null | tee -a $LOG
+say "e2e ROL_V=4 + coarse-expanded candidates"
+timeout 1800 env BENCH_BIG=0 BENCH_SEGMENTS=24 FLT_ROL_V=4 FLT_ROL4_COARSE=1 python bench.py 2>/dev/null | tee -a $LOG
 say "e2e ROL_V=4 + no-sort (block-ring lane order)"
 timeout 1800 env BENCH_BIG=0 BENCH_SEGMENTS=24 FLT_ROL_V=4 FLT_KEY=none python bench.py 2>/dev/null | tee -a $LOG
 say "e2e ROL_V=1 + no-sort"
