@@ -79,7 +79,9 @@ class RenderParams(NamedTuple):
     # spp cap VALUE (dynamic, like the reference's params.maxSpp kernel
     # arg) — the cap's presence stays a static gate (RenderConfig.max_spp
     # > 0 = CHECK_SPP), so retargeting spp does not retrace/recompile
-    max_spp: jnp.ndarray = jnp.int32(0)
+    # (plain-int default: a jnp scalar here would initialize the JAX
+    # backend at import time, before callers can configure platforms)
+    max_spp: jnp.ndarray = 0
 
 
 # ---------------------------------------------------------------------------

@@ -382,7 +382,8 @@ class Renderer:
         the mk megastep anyway (tests / small depths)."""
         if self.config.backend == "mxu" and \
                 os.environ.get("FLT_FORCE_MK", "0") != "1":
-            return self.render_single_wavefront(spp, accumulate=True)
+            return self.render_single_wavefront(spp, accumulate=True,
+                                                progress=progress)
         cfg = self.config.replace(use_roulette=False)
         for sample in range(spp):
             if cfg.denoiser:
@@ -434,6 +435,7 @@ class Renderer:
                 static_argnames=("config", "first_iteration", "defer_splat"))
             self._wf_apply_splats = jax.jit(apply_splats)
         self._wf_counters = []
+        self._wf_stats_cache = (0, (0, 0, 0, 0))
         self._splat_segs = []
         self._splat_datas = []
         # batched film scatter: K segments of splat records -> one
@@ -514,18 +516,24 @@ class Renderer:
         """Queue-counter-derived stats (tracer.cpp:361-368). Counters are
         stacked on-device and fetched in ONE transfer — per-scalar syncs
         cost a tunnel round trip each on remote-attached TPUs."""
-        if not self._wf_counters:
-            return RenderStats.zeros()
-        flat = []
-        for c in self._wf_counters:
-            flat.extend([c.raygen, c.extension, c.shadow, c.splatted])
-        mat = np.asarray(jnp.stack(flat)).reshape(-1, 4)
-        prim = int(mat[:, 0].sum())
-        ext = int(mat[:, 1].sum())
-        shdw = int(mat[:, 2].sum())
-        samp = int(mat[1:, 3].sum()) if len(mat) > 1 else 0
-        return RenderStats(jnp.int32(prim), jnp.int32(ext), jnp.int32(shdw),
-                           jnp.int32(samp))
+        # incremental: reduce only rows added since the last call — the
+        # harness polls this every 0.5 s inside the measured loop, and
+        # restacking the whole history is quadratic (and retraces on
+        # every new stack shape). Row 0 after a wf_reset splats nothing
+        # (all paths pre-birth), so summing every row is correct for
+        # fresh runs AND accumulate continuations.
+        done, acc = getattr(self, "_wf_stats_cache", (0, (0, 0, 0, 0)))
+        new = self._wf_counters[done:]
+        if new:
+            flat = []
+            for c in new:
+                flat.extend([c.raygen, c.extension, c.shadow, c.splatted])
+            mat = np.asarray(jnp.stack(flat)).reshape(-1, 4)
+            acc = tuple(int(a) + int(mat[:, k].sum())
+                        for k, a in enumerate(acc))
+            self._wf_stats_cache = (len(self._wf_counters), acc)
+        return RenderStats(jnp.int32(acc[0]), jnp.int32(acc[1]),
+                           jnp.int32(acc[2]), jnp.int32(acc[3]))
 
     def wavefront_film(self):
         from .core.integrator_wf import unpad_pixels
@@ -565,7 +573,8 @@ class Renderer:
     def render_single_wavefront(self, spp: int,
                                 num_tasks: Optional[int] = None,
                                 max_segments: int = 100000,
-                                accumulate: bool = False):
+                                accumulate: bool = False,
+                                progress: bool = False):
         """Exact-spp batch render via the wavefront path with the CHECK_SPP
         cap (wf_logic.cl:76-84): segments run until every pixel has spp
         samples. Preferred on TPU, where the unrolled per-bounce megastep
@@ -587,6 +596,21 @@ class Renderer:
                 state.pool.seed.shape[0] != n_tasks:
             state = wf_reset(cfg, n_tasks, world_radius=self.world_radius)
             self._wf_exact_target = 0
+            if accumulate and self.film is not None:
+                w = np.asarray(self.film.weight)
+                if w.max() > 0:
+                    # continue a restored accumulation (load_checkpoint)
+                    # instead of silently discarding it: seed the exact
+                    # state's film/spp from self.film and resume the cap
+                    # from the restored floor
+                    from .core.integrator_wf import pad_pixels
+                    pad = lambda tree: jax.tree_util.tree_map(
+                        lambda a: pad_pixels(a, cfg), tree)
+                    spp0 = jnp.asarray(w, jnp.int32)
+                    state = state._replace(
+                        film=pad(self.film),
+                        spp=pad_pixels(spp0, cfg, fill=1 << 29))
+                    self._wf_exact_target = int(w.min())
         target = self._wf_exact_target + spp
         params = self.params._replace(max_spp=jnp.int32(target))
         if not hasattr(self, "_wf_exact_step"):
@@ -600,7 +624,13 @@ class Renderer:
                 state, c = step(self.device_scene, params, state, cfg)
                 counters.append(c)
                 done += 1
-            if int(jnp.min(state.spp)) >= target:
+            cur = int(jnp.min(state.spp))
+            if progress:
+                print(f"\rRendered: {min(cur, target)}/{target}",
+                      end="", flush=True)
+            if cur >= target:
+                if progress:
+                    print()
                 break
         unpad = lambda tree: jax.tree_util.tree_map(
             lambda a: unpad_pixels(a, cfg), tree)
@@ -611,6 +641,7 @@ class Renderer:
         self._wf_cfg = cfg
         self._wf_exact_mode = True   # render_wavefront must re-init
         self._wf_counters = counters
+        self._wf_stats_cache = (0, (0, 0, 0, 0))
         if state.features is not None:
             self.features = unpad(state.features)
         st = self.wavefront_stats()
