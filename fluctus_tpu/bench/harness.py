@@ -44,6 +44,45 @@ class BenchmarkResult:
         self.csv_rows = csv_rows
 
 
+def _timed_loop(snapshot, step, stop, scene_name, max_time,
+                log_interval):
+    """Shared timing/logging skeleton (tracer.cpp:676-691): run `step`
+    until `stop()` or max_time, logging snapshot deltas as CSV rows every
+    log_interval. Returns (elapsed, totals, csv_rows)."""
+    csv_rows = []
+    t_start = time.time()
+    t_last_log = t_start
+    last_stats = (0, 0, 0, 0)
+    while True:
+        now = time.time()
+        if max_time > 0 and now - t_start >= max_time:
+            break
+        step()
+        if stop():
+            break
+        now = time.time()
+        if now - t_last_log > log_interval:
+            cur = snapshot()
+            d = [c - l for c, l in zip(cur, last_stats)]
+            sc = 1e6 * (now - t_last_log)
+            csv_rows.append((scene_name, now - t_start, d[0] / sc,
+                             d[1] / sc, d[2] / sc,
+                             (d[0] + d[1] + d[2]) / sc, d[3] / sc))
+            last_stats = cur
+            t_last_log = now
+    elapsed = time.time() - t_start
+    return elapsed, snapshot(), csv_rows
+
+
+def _averages(tot, elapsed, spp):
+    scale = 1e6 * max(elapsed, 1e-9)
+    return dict(
+        primary=tot[0] / scale, extension=tot[1] / scale,
+        shadow=tot[2] / scale, samples=tot[3] / scale,
+        total=(tot[0] + tot[1] + tot[2]) / scale, spp=spp,
+        elapsed=elapsed)
+
+
 def _render_timed_wavefront(renderer: Renderer, max_time: float,
                             max_spp: int, scene_name: str,
                             log_interval: float = 0.5, chunk: int = 8):
@@ -55,46 +94,23 @@ def _render_timed_wavefront(renderer: Renderer, max_time: float,
     import jax.numpy as jnp
 
     renderer.init_wavefront()
-    csv_rows = []
-    t_start = time.time()
-    t_last_log = t_start
-    last_stats = (0, 0, 0, 0)
 
     def snapshot():
         st = renderer.wavefront_stats()
         return (int(st.primary_rays), int(st.extension_rays),
                 int(st.shadow_rays), int(st.samples))
 
-    while True:
-        now = time.time()
-        if max_time > 0 and now - t_start >= max_time:
-            break
-        renderer.render_wavefront(chunk, sync=True)
-        if max_spp > 0 and \
-                int(jnp.min(renderer._wf_state.spp)) >= max_spp:
-            break
-        now = time.time()
-        if now - t_last_log > log_interval:
-            cur = snapshot()
-            d = [c - l for c, l in zip(cur, last_stats)]
-            s = 1e6 * (now - t_last_log)
-            csv_rows.append((scene_name, now - t_start, d[0] / s, d[1] / s,
-                             d[2] / s, (d[0] + d[1] + d[2]) / s, d[3] / s))
-            last_stats = cur
-            t_last_log = now
+    def stop():
+        return max_spp > 0 and \
+            int(jnp.min(renderer._wf_state.spp)) >= max_spp
 
+    elapsed, tot, csv_rows = _timed_loop(
+        snapshot, lambda: renderer.render_wavefront(chunk, sync=True),
+        stop, scene_name, max_time, log_interval)
     renderer.film = renderer.wavefront_film()
-    elapsed = time.time() - t_start
-    tot = snapshot()
     renderer.stats = renderer.stats + renderer.wavefront_stats()
-    scale = 1e6 * max(elapsed, 1e-9)
     npix = max(1, renderer.config.num_pixels)
-    averages = dict(
-        primary=tot[0] / scale, extension=tot[1] / scale,
-        shadow=tot[2] / scale, samples=tot[3] / scale,
-        total=(tot[0] + tot[1] + tot[2]) / scale,
-        spp=tot[3] // npix, elapsed=elapsed)
-    return averages, csv_rows
+    return _averages(tot, elapsed, tot[3] // npix), csv_rows
 
 
 def _render_scene_timed(renderer: Renderer, settings: Settings,
@@ -112,45 +128,23 @@ def _render_scene_timed(renderer: Renderer, settings: Settings,
 
 def _render_timed(renderer: Renderer, max_time: float, max_spp: int,
                   scene_name: str, log_interval: float = 0.5):
-    """Render loop with periodic stat logging (tracer.cpp:676-691)."""
-    csv_rows = []
-    t_start = time.time()
-    t_last_log = t_start
-    last_stats = (0, 0, 0, 0)
-    spp = 0
+    """renderSingle-stepped loop with periodic stat logging."""
+    state = dict(spp=0)
 
     def snapshot():
         st = renderer.stats
         return (int(st.primary_rays), int(st.extension_rays),
                 int(st.shadow_rays), int(st.samples))
 
-    while True:
-        now = time.time()
-        if max_time > 0 and now - t_start >= max_time:
-            break
-        if max_spp > 0 and spp >= max_spp:
-            break
+    def step():
         renderer.render_single(spp=1)
-        spp += 1
-        now = time.time()
-        if now - t_last_log > log_interval:
-            cur = snapshot()
-            d = [c - l for c, l in zip(cur, last_stats)]
-            s = 1e6 * (now - t_last_log)
-            csv_rows.append((scene_name, now - t_start, d[0] / s, d[1] / s,
-                             d[2] / s, (d[0] + d[1] + d[2]) / s, d[3] / s))
-            last_stats = cur
-            t_last_log = now
+        state["spp"] += 1
 
-    elapsed = time.time() - t_start
-    tot = snapshot()
-    scale = 1e6 * max(elapsed, 1e-9)
-    averages = dict(
-        primary=tot[0] / scale, extension=tot[1] / scale,
-        shadow=tot[2] / scale, samples=tot[3] / scale,
-        total=(tot[0] + tot[1] + tot[2]) / scale, spp=spp,
-        elapsed=elapsed)
-    return averages, csv_rows
+    elapsed, tot, csv_rows = _timed_loop(
+        snapshot, step,
+        lambda: max_spp > 0 and state["spp"] >= max_spp,
+        scene_name, max_time, log_interval)
+    return _averages(tot, elapsed, state["spp"]), csv_rows
 
 
 def run_benchmark(scenes=None, width=1024, height=1024, seconds=30.0,
