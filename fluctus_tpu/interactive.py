@@ -14,6 +14,8 @@ Commands:
   speed <v>          set cameraSpeed (reference '+'/'-')
   fov <deg>          vertical field of view
   spp <n>            segments rendered per preview refresh
+  more [n]           refine: n more segments WITHOUT restarting
+                     accumulation (idle iteration, Tracer::update)
   preview [0|1]      toggle fast force-splat preview: one segment +
                      incomplete-path overwrite splat (splatPreview,
                      mk_splat_preview.cl:13-25) for instant feedback
@@ -218,6 +220,24 @@ def run_interactive(renderer, out_path: str = "preview.png",
                           if ok else "  no hit")
                 if ok:
                     refresh()
+            elif op == "more":
+                # continue accumulating WITHOUT restarting (the reference
+                # keeps iterating while idle, Tracer::update) — refine the
+                # current view by n more segments
+                n_more = int(cmd[1]) if len(cmd) > 1 else segments
+                if getattr(renderer, "_wf_state", None) is None:
+                    refresh()          # nothing accumulated yet
+                    continue
+                renderer.render_wavefront(n_more)
+                renderer.film = renderer.wavefront_film()
+                import os as _os
+                tmp = out_path + ".tmp" + _os.path.splitext(out_path)[1]
+                renderer.save_image(tmp)
+                _os.replace(tmp, out_path)
+                if echo:
+                    import numpy as _np
+                    spp_m = float(_np.asarray(renderer.film.weight).mean())
+                    print(f"  -> {out_path} (avg {spp_m:.1f} spp)")
             elif op == "png":
                 renderer.film = renderer.wavefront_film()
                 renderer.save_image(cmd[1])

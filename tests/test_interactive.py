@@ -143,3 +143,26 @@ def test_light_cycle_and_pick(tmp_path):
     # the center-ish ray hits the teapot -> focal distance updated
     assert r.settings.camera.focal_dist != fd0
     assert 0.5 < r.settings.camera.focal_dist < 20.0
+
+
+def test_more_refines_without_restart(tmp_path):
+    """`more` continues accumulation (idle iteration) instead of
+    restarting: average spp strictly increases."""
+    s = Settings()
+    s.use_env_map = True
+    s.use_area_light = False
+    s.max_path_depth = 2
+    s.camera.pos = (0.0, 1.0, 4.0)
+    s.camera.dir = (0.0, -0.15, -1.0)
+    s.wf_buffer_size = 2048
+    r = Renderer(16, 16, settings=s, data_dir=str(tmp_path / "data"))
+    r.load_scene("/root/reference/assets/teapot.ply",
+                 env_map="/root/reference/assets/env_maps/night.hdr")
+    out = str(tmp_path / "p.png")
+    script = io.StringIO("spp 2\nlook 1 0\nmore 4\nq\n")
+    n = run_interactive(r, out_path=out, input_stream=script, echo=False)
+    assert n == 4
+    w = np.asarray(r.film.weight)
+    # 2 segments of refresh + 4 more at 2048 lanes / 256 px = 8 lanes/px:
+    # strictly more than the refresh alone could deposit
+    assert w.mean() > 2.0
