@@ -34,3 +34,7 @@ say "big scene 320k + FLT_SC_SUB=1 (in-cluster sub-block culling)"
 timeout 2400 env BENCH_BIG=1 BENCH_SEGMENTS=8 FLT_SC_SUB=1 python bench.py 2>/dev/null | tee -a $LOG
 
 echo done | tee -a $LOG
+
+# 4. missing luxball golden (needs TPU 256-spp render)
+say "luxball golden"
+timeout 1800 python tools/make_goldens.py --only luxball 2>&1 | tail -3 | tee -a $LOG
