@@ -2140,6 +2140,11 @@ def _sorted_trace(o4, d4, tmax_col, scene, any_hit, ray_tile, interpret):
         tmax_col = jnp.full((b, 1), F32_MAX, jnp.float32)
     tmax_col = _exit_clamp(o4, d4, tmax_col, lo, hi)
     key_mode = _os.environ.get("FLT_KEY", "oct")
+    if any_hit:
+        # shadow rays can keep sorting when ext rays run in block-lane
+        # order: the occupancy cut (non-pending lanes sort to tail tiles
+        # with empty candidate lists) only exists under a sort
+        key_mode = _os.environ.get("FLT_KEY_SHADOW", key_mode)
     if key_mode == "none":
         # no-sort mode: trace in LANE order. With the block-bound pool
         # (config.block_ring) lanes are already pixel-block-coherent —

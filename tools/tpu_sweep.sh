@@ -24,6 +24,8 @@ say "e2e ROL_V=4 + coarse-expanded candidates"
 timeout 1800 env BENCH_BIG=0 BENCH_SEGMENTS=24 FLT_ROL_V=4 FLT_ROL4_COARSE=1 python bench.py 2>/dev/null | tee -a $LOG
 say "e2e ROL_V=4 + no-sort (block-ring lane order)"
 timeout 1800 env BENCH_BIG=0 BENCH_SEGMENTS=24 FLT_ROL_V=4 FLT_KEY=none python bench.py 2>/dev/null | tee -a $LOG
+say "e2e ROL_V=4 + no-sort ext, sorted shadows"
+timeout 1800 env BENCH_BIG=0 BENCH_SEGMENTS=24 FLT_ROL_V=4 FLT_KEY=none FLT_KEY_SHADOW=oct python bench.py 2>/dev/null | tee -a $LOG
 say "e2e ROL_V=1 + no-sort"
 timeout 1800 env BENCH_BIG=0 BENCH_SEGMENTS=24 FLT_ROL_V=1 FLT_KEY=none python bench.py 2>/dev/null | tee -a $LOG
 
