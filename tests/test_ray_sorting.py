@@ -54,3 +54,47 @@ def test_sort_key_locality():
     # same octant/origin -> same major key; nearby directions -> closer minor
     assert kmaj[0] == kmaj[1] and kmaj[0] != kmaj[2]
     assert abs(int(kmin[0]) - int(kmin[1])) < abs(int(kmin[0]) - int(kmin[2]))
+
+
+def test_shadow_key_override(monkeypatch):
+    """FLT_KEY_SHADOW lets shadow (any-hit) traces keep a coherence sort
+    while extension rays run in lane order (FLT_KEY=none)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from fluctus_tpu.accel import mxu_trace as mt
+
+    calls = []
+
+    def fake_dispatch(o4s, d4s, tmax, scene, any_hit, rt, interp):
+        # record whether rays arrived in original lane order (no sort):
+        # lane 0's ox survives in slot 0 only when unsorted
+        calls.append((bool(any_hit), float(np.asarray(o4s)[0, 0])))
+        n = o4s.shape[0]
+        return (jnp.full((n, 1), mt.F32_MAX, jnp.float32),
+                jnp.full((n, 1), -1, jnp.int32))
+
+    monkeypatch.setattr(mt, "_dispatch_trace", fake_dispatch)
+    monkeypatch.setenv("FLT_KEY", "none")
+    monkeypatch.setenv("FLT_KEY_SHADOW", "oct")
+
+    b = 1024
+    rng = np.random.default_rng(3)
+    o = rng.standard_normal((b, 3)).astype(np.float32)
+    # force a nontrivial sort: descending x, mixed signs in d
+    o[:, 0] = np.linspace(5.0, -5.0, b, dtype=np.float32)
+    d = rng.standard_normal((b, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o4 = jnp.asarray(np.concatenate([o, np.ones((b, 1), np.float32)], 1))
+    d4 = jnp.asarray(np.concatenate([d, np.zeros((b, 1), np.float32)], 1))
+    tm = jnp.full((b, 1), 1e30, jnp.float32)
+
+    class FakeScene:
+        cluster_box = jnp.asarray([[-9e4, -9e4, -9e4, 9e4, 9e4, 9e4, 0, 0]])
+
+    mt._sorted_trace(o4, d4, tm, FakeScene(), False, 512, False)  # ext
+    mt._sorted_trace(o4, d4, tm, FakeScene(), True, 512, False)   # shadow
+    (ext_anyhit, ext_first), (sh_anyhit, sh_first) = calls
+    assert not ext_anyhit and sh_anyhit
+    # ext kept lane order (first ox = 5.0); shadow got reordered
+    assert abs(ext_first - 5.0) < 1e-5
+    assert abs(sh_first - 5.0) > 1e-3
