@@ -28,8 +28,24 @@ ENV = "/root/reference/assets/env_maps/night.hdr"
 def main():
     import contextlib
     import json as _json
+    import threading
+
+    # the axon tunnel occasionally wedges with backend init hanging
+    # forever inside the PJRT handshake — abort loudly instead of letting
+    # the whole benchmark run hang (first contact normally takes seconds)
+    limit = float(os.environ.get("BENCH_INIT_TIMEOUT", "900"))
+
+    def _abort():
+        print(f"FATAL: TPU backend init did not complete in {limit:.0f} s "
+              "(axon tunnel wedged?) — aborting bench", file=sys.stderr)
+        os._exit(3)
+    watchdog = threading.Timer(limit, _abort)
+    watchdog.daemon = True
+    watchdog.start()
 
     import jax
+    jax.devices()          # first backend contact (the hang point)
+    watchdog.cancel()
 
     from fluctus_tpu import compile_cache
     compile_cache.enable()
