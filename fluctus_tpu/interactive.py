@@ -66,15 +66,18 @@ def run_interactive(renderer, out_path: str = "preview.png",
         else:
             renderer.render_wavefront(segments)
             renderer.film = renderer.wavefront_film()
+        _save_frame()
+
+    def _save_frame():
         # atomic frame swap: the --serve viewer polls this path while we
         # write — a temp + os.replace keeps every GET a complete PNG
         import os as _os
         tmp = out_path + ".tmp" + _os.path.splitext(out_path)[1]
         renderer.save_image(tmp)
         _os.replace(tmp, out_path)
-        import numpy as np
-        spp = float(np.asarray(renderer.film.weight).mean())
         if echo:
+            import numpy as np
+            spp = float(np.asarray(renderer.film.weight).mean())
             print(f"  -> {out_path} (avg {spp:.1f} spp)")
 
     def move(axis, sign):
@@ -230,14 +233,7 @@ def run_interactive(renderer, out_path: str = "preview.png",
                     continue
                 renderer.render_wavefront(n_more)
                 renderer.film = renderer.wavefront_film()
-                import os as _os
-                tmp = out_path + ".tmp" + _os.path.splitext(out_path)[1]
-                renderer.save_image(tmp)
-                _os.replace(tmp, out_path)
-                if echo:
-                    import numpy as _np
-                    spp_m = float(_np.asarray(renderer.film.weight).mean())
-                    print(f"  -> {out_path} (avg {spp_m:.1f} spp)")
+                _save_frame()
             elif op == "png":
                 renderer.film = renderer.wavefront_film()
                 renderer.save_image(cmd[1])
