@@ -79,7 +79,12 @@ def shard_wf_state(state, mesh: Mesh, axis: str = "px"):
     slice of the path pool — the reference's single-GPU pixel ring
     (clcontext.cpp:917-927) replicated per chip with disjoint pixel
     domains, so a segment needs NO cross-chip communication except the
-    stats psum."""
+    stats psum.
+
+    Block-ring states (config.block_ring: curr_pixel is a per-GROUP cursor
+    vector [G], film/spp in the padded [G*Pk] layout) shard the same way —
+    each shard owns G/D whole groups, so the cursor vector is simply
+    sharded along its group dim."""
     d = mesh.devices.size
     n = state.pool.seed.shape[0]
     p = state.film.weight.shape[0]
@@ -87,8 +92,13 @@ def shard_wf_state(state, mesh: Mesh, axis: str = "px"):
         raise ValueError(f"pool ({n}) and pixels ({p}) must divide the "
                          f"mesh size ({d})")
     shard = NamedSharding(mesh, P(axis))
-    cursors = jnp.zeros(d, jnp.int32)
-    sharded = state._replace(curr_pixel=cursors)
+    if state.curr_pixel.ndim == 1:      # block mode: [G] group cursors
+        if state.curr_pixel.shape[0] % d:
+            raise ValueError(f"groups ({state.curr_pixel.shape[0]}) must "
+                             f"divide the mesh size ({d})")
+        sharded = state
+    else:
+        sharded = state._replace(curr_pixel=jnp.zeros(d, jnp.int32))
     return jax.device_put(
         sharded, jax.tree_util.tree_map(lambda _: shard, sharded))
 
@@ -98,29 +108,38 @@ def wf_segment_sharded(scene, params, state, config, mesh: Mesh,
     """One wavefront segment under shard_map: per-shard pools, pixel
     sub-rings and films; counters psum'd over the mesh (the reference's
     queue-counter readback, reduced over chips)."""
-    from functools import partial
-
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:          # jax < 0.8
+        from jax.experimental.shard_map import shard_map
 
     from ..core.integrator_wf import wf_segment
 
     def local_segment(scene, params, state):
+        # pixel_base counts PADDED pixels in block mode (each shard owns
+        # G/D whole groups of Pk padded slots; integrator_wf derives the
+        # global group offset as pixel_base // Pk) and true pixels
+        # otherwise — both equal the local film length.
         local_pixels = state.film.weight.shape[0]
         base = jax.lax.axis_index(axis).astype(jnp.int32) * local_pixels
-        st = state._replace(curr_pixel=state.curr_pixel[0])
+        st = state if config.block_ring else state._replace(
+            curr_pixel=state.curr_pixel[0])
         new_state, counters = wf_segment(scene, params, st, config,
                                          pixel_base=base)
         counters = jax.tree_util.tree_map(
             lambda c: jax.lax.psum(c, axis), counters)
-        new_state = new_state._replace(
-            curr_pixel=new_state.curr_pixel.reshape(1))
+        if not config.block_ring:
+            new_state = new_state._replace(
+                curr_pixel=new_state.curr_pixel.reshape(1))
         return new_state, counters
 
     shard = P(axis)
     rep = P()
     state_specs = jax.tree_util.tree_map(lambda _: shard, state)
-    fn = shard_map(local_segment, mesh=mesh,
-                   in_specs=(rep, rep, state_specs),
-                   out_specs=(state_specs, rep),
-                   check_rep=False)
+    kw = dict(mesh=mesh, in_specs=(rep, rep, state_specs),
+              out_specs=(state_specs, rep))
+    try:
+        fn = shard_map(local_segment, check_vma=False, **kw)
+    except TypeError:            # jax < 0.8 spelling
+        fn = shard_map(local_segment, check_rep=False, **kw)
     return fn(scene, params, state)

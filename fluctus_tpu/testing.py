@@ -57,6 +57,89 @@ def quad_setup(width: int = 32, height: int = 32, max_bounces: int = 3,
     return params, config
 
 
+def mxu_block_scene(width: int = 32, height: int = 16, groups: int = 16,
+                    num_tasks: int = 2048, max_bounces: int = 3):
+    """The PRODUCTION TPU configuration at test size: MXU cluster-table
+    traversal (Pallas, interpret mode off-TPU) + winner-attribute resolve
+    (baked materials) + the block-bound pool with the dense per-group
+    film splat. Multi-cluster geometry (a 16x16 relief grid of quads,
+    512 tris -> 4 clusters at cs=128) with mixed diffuse/GGX materials so
+    the resolve path carries real attribute variety.
+
+    Serves the sharded bit-exactness test and the multichip dryrun: the
+    round-3 sharding evidence only covered the bitstack backend; this is
+    the 128-lane-table + block-ring dataflow under shard_map
+    (clcontext.cpp:917-927 ring semantics per shard, here per group).
+
+    Returns (scene, params, config)."""
+    from .accel.mxu_trace import MXUScene
+
+    cells = 16
+    size = 8.0
+    step = 2 * size / cells
+    tris, norms = [], []
+    rng = np.random.default_rng(7)
+    zs = rng.random((cells, cells)).astype(np.float32) * 0.8
+    for i in range(cells):
+        for j in range(cells):
+            x0 = -size + i * step
+            y0 = -size + j * step
+            z = float(zs[i, j])
+            a = [x0, y0, z]
+            b = [x0 + step, y0, z]
+            c = [x0 + step, y0 + step, z]
+            e = [x0, y0 + step, z]
+            tris += [[a, b, c], [a, c, e]]
+            norms += [[[0, 0, 1]] * 3] * 2
+    p = np.asarray(tris, np.float32)
+    n = np.asarray(norms, np.float32)
+    uv = np.zeros((len(p), 3, 2), np.float32)
+    # alternate diffuse / GGX rough reflection per grid cell
+    mid = (np.arange(len(p)) // 2 % 2).astype(np.int32)
+
+    m0 = default_material()
+    m0.Kd = (0.6, 0.5, 0.4)
+    m1 = default_material()
+    m1.Kd = (0.05, 0.05, 0.05)
+    m1.Ks = (0.8, 0.8, 0.8)
+    m1.Ns = 80.0
+    m1.type = bx.BXDF_GGX_ROUGH_REFLECTION
+    mats = [m0, m1]
+    mtypes = bx.BXDF_DIFFUSE | bx.BXDF_GGX_ROUGH_REFLECTION
+
+    bvh = build_bvh(p)
+    mxu = MXUScene.build(p, bvh, cluster_size=128, normals=n, uvs=uv,
+                         mat_ids=mid, materials=mats)
+    env = EnvironmentMap.from_array(
+        np.ones((16, 32, 3), np.float32)).device_tables()
+    scene = DeviceScene(
+        tris=TrianglesDevice.from_arrays(p, n, uv, mid),
+        bvh=BVHDevice.from_host(bvh),
+        mats=materials_to_soa(mats),
+        atlas=pack_atlas([]),
+        env=env,
+        material_types=mtypes,
+        mxu=mxu)
+
+    cam = Camera.make(pos=(0, -14, 10), dir=(0, 0.7, -0.55), up=(0, 0, 1),
+                      right=(1, 0, 0), fov=55.0)
+    light = AreaLight.make(pos=(0, 0, 6), N=(0, 0, -1), right=(1, 0, 0),
+                           up=(0, 1, 0), E=(10, 10, 10), size=(0.5, 0.5))
+    params = RenderParams(camera=cam, area_light=light,
+                          env_map_strength=jnp.float32(1.0),
+                          world_radius=jnp.float32(3.0 * size),
+                          pp=PostProcessParams(jnp.float32(1.0), jnp.int32(0)))
+    # backend="jax" keeps the BLOCK kernels in interpret mode off-TPU
+    # (integrator_wf b_interp); the MXU trace/resolve kernels pick
+    # interpret mode from the backend themselves (core/trace.py).
+    config = RenderConfig(width=width, height=height,
+                          max_bounces=max_bounces, use_env_map=True,
+                          use_area_light=False, material_types=mtypes,
+                          backend="jax", block_ring=True, groups=groups)
+    config.block_plan(num_tasks)   # validate the geometry eagerly
+    return scene, params, config
+
+
 def egyptcat_scene(width: int = 64, height: int = 32, max_bounces: int = 3,
                    **cfg_kw):
     """The REAL flagship scene at test size: egyptcat OBJ (18k tris, GGX +

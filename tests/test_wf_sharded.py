@@ -101,6 +101,69 @@ def test_sharded_wavefront_converges():
     assert abs(mean_u - mean_s) / max(mean_u, 1e-9) < 0.05
 
 
+def test_sharded_equals_local_mxu_block():
+    """Bit-exactness on the PRODUCTION TPU configuration (round-3 verdict
+    weak #5): MXU cluster-table trace + winner resolve (interpret mode) +
+    the block-bound pool's dense per-group splat, sharded over 8 virtual
+    devices vs the same per-shard segments run sequentially on one device.
+    curr_pixel is a per-GROUP cursor vector here — each shard owns whole
+    groups (parallel/mesh.py block-mode sharding)."""
+    from fluctus_tpu.testing import mxu_block_scene
+
+    d = 8
+    num_tasks = 2048
+    scene, params, config = mxu_block_scene(num_tasks=num_tasks)
+    assert config.block_ring and scene.mxu is not None
+    mesh = make_mesh(d)
+    state0 = wf_reset(config, num_tasks,
+                      world_radius=float(params.world_radius))
+    step = jax.jit(wf_segment, static_argnames=("config", "first_iteration"))
+
+    # block mode: film/spp live in the padded [G*Pk] layout and curr_pixel
+    # is [G]; a shard owns G/d whole groups
+    g = config.groups
+    segs = 5
+    ref_films, ref_spps, ref_counters = [], [], []
+    local_pixels = state0.film.weight.shape[0] // d
+    for k in range(d):
+        n = num_tasks // d
+        pool = jax.tree_util.tree_map(
+            lambda a: a[k * n:(k + 1) * n], state0.pool)
+        film = jax.tree_util.tree_map(
+            lambda a: a[k * local_pixels:(k + 1) * local_pixels], state0.film)
+        st = WfState(pool=pool, film=film,
+                     spp=state0.spp[k * local_pixels:(k + 1) * local_pixels],
+                     curr_pixel=state0.curr_pixel[k * g // d:(k + 1) * g // d])
+        base = jnp.int32(k * local_pixels)
+        for _ in range(segs):
+            st, cnt = step(scene, params, st, config, pixel_base=base)
+        ref_films.append(st.film)
+        ref_spps.append(st.spp)
+        ref_counters.append(cnt)
+
+    scene_r = replicate_scene(scene, mesh)
+    st = shard_wf_state(state0, mesh)
+    sstep = jax.jit(lambda sc, pr, s: wf_segment_sharded(sc, pr, s,
+                                                         config, mesh))
+    for _ in range(segs):
+        st, cnt = sstep(scene_r, params, st)
+
+    for ch in ("x", "y", "z"):
+        got = np.asarray(getattr(st.film.color, ch))
+        want = np.concatenate(
+            [np.asarray(getattr(f.color, ch)) for f in ref_films])
+        np.testing.assert_array_equal(got, want)
+    got_w = np.asarray(st.film.weight)
+    want_w = np.concatenate([np.asarray(f.weight) for f in ref_films])
+    np.testing.assert_array_equal(got_w, want_w)
+    assert got_w.sum() > 0, "block splat never fired under sharding"
+    np.testing.assert_array_equal(
+        np.asarray(st.spp), np.concatenate([np.asarray(s) for s in ref_spps]))
+    assert int(cnt.splatted) == sum(int(c.splatted) for c in ref_counters)
+    assert int(cnt.shadow) == sum(int(c.shadow) for c in ref_counters)
+    assert int(cnt.raygen) == sum(int(c.raygen) for c in ref_counters)
+
+
 def test_sharded_equals_local_egyptcat():
     """Bit-exactness on the REAL scene path (round-3 verdict #4): the full
     egyptcat DeviceScene pytree — 16k-tri BVH, GGX + texture atlas, env
