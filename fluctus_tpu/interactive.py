@@ -29,6 +29,14 @@ Commands:
   light              cycle light sources env/area/both
   pick <x> <y>       set DoF focal distance from a scene pick (NDC
                      coords in [0,1]; the right-click analogue)
+  tonemap [0-3]      tonemap operator (0 linear, 1 Reinhard, 2 UC2
+                     filmic, 3 raw) or cycle; postprocess-only — no
+                     accumulation restart (tracer_ui.cpp:355-366)
+  exposure <f>       exposure multiplier (tracer_ui exposure slider);
+                     postprocess-only
+  blend <f>          denoiser blend 0..1 (0 = original, 1 = fully
+                     denoised; DenoiserOptix::setBlend) — rewrites the
+                     frame denoised when the denoiser is active
   png <path>         write the current accumulation
   q                  quit
 """
@@ -79,6 +87,24 @@ def run_interactive(renderer, out_path: str = "preview.png",
             import numpy as np
             spp = float(np.asarray(renderer.film.weight).mean())
             print(f"  -> {out_path} (avg {spp:.1f} spp)")
+
+    def repost(denoised=False):
+        # postprocess params (exposure/tonemap/blend) are DYNAMIC render
+        # params, not compile-time flags: rebuild params and re-save the
+        # frame from the existing accumulation — no restart, no retrace
+        # (the reference's PostProcessParams update path,
+        # tracer_ui.cpp:355-366)
+        renderer.params = renderer._make_params()
+        if denoised:
+            import os as _os
+            tmp = out_path + ".tmp" + _os.path.splitext(out_path)[1]
+            renderer.save_denoised(tmp)
+            _os.replace(tmp, out_path)
+            if echo:
+                print(f"  -> {out_path} (denoised, blend="
+                      f"{renderer.settings.denoiser_blend:g})")
+        else:
+            _save_frame()
 
     def move(axis, sign):
         c = renderer.settings.camera
@@ -234,6 +260,29 @@ def run_interactive(renderer, out_path: str = "preview.png",
                 renderer.render_wavefront(n_more)
                 renderer.film = renderer.wavefront_film()
                 _save_frame()
+            elif op == "tonemap":
+                # operator select or cycle (tracer_ui.cpp:355-366)
+                s = renderer.settings
+                s.tonemap = (int(cmd[1]) % 4 if len(cmd) > 1
+                             else (s.tonemap + 1) % 4)
+                if echo:
+                    names = ("linear", "Reinhard", "UC2 filmic", "raw")
+                    print(f"  tonemap: {s.tonemap} ({names[s.tonemap]})")
+                repost()
+            elif op == "exposure":
+                renderer.exposure = float(cmd[1])
+                if echo:
+                    print(f"  exposure: {renderer.exposure:g}")
+                repost()
+            elif op == "blend":
+                s = renderer.settings
+                s.denoiser_blend = min(1.0, max(0.0, float(cmd[1])))
+                if echo:
+                    print(f"  denoiser blend: {s.denoiser_blend:g}")
+                # with the denoiser active, the display shows the blended
+                # result (tracer.cpp:339-356 gating + setBlend)
+                has_feat = getattr(renderer, "features", None) is not None
+                repost(denoised=renderer.config.denoiser and has_feat)
             elif op == "png":
                 renderer.film = renderer.wavefront_film()
                 renderer.save_image(cmd[1])

@@ -166,3 +166,40 @@ def test_more_refines_without_restart(tmp_path):
     # 2 segments of refresh + 4 more at 2048 lanes / 256 px = 8 lanes/px:
     # strictly more than the refresh alone could deposit
     assert w.mean() > 2.0
+
+
+def test_interactive_postprocess_controls(tmp_path):
+    """tonemap/exposure/blend round-trip through _make_params/postprocess
+    WITHOUT restarting accumulation (tracer_ui.cpp:355-366 sliders +
+    DenoiserOptix::setBlend)."""
+    s = Settings()
+    s.use_env_map = True
+    s.use_area_light = False
+    s.max_path_depth = 2
+    s.wf_buffer_size = 2048
+    s.use_denoiser = True
+    r = Renderer(8, 8, settings=s, data_dir=str(tmp_path / "data"))
+    r.load_scene("/root/reference/assets/teapot.ply",
+                 env_map="/root/reference/assets/env_maps/night.hdr")
+    out = str(tmp_path / "p.png")
+    script = io.StringIO("spp 6\nw\ntonemap 3\nexposure 2.5\nblend 0.25\nq\n")
+    n = run_interactive(r, out_path=out, input_stream=script, echo=False)
+    assert n == 6
+    assert os.path.exists(out)
+    # settings mutated and wired into the live render params
+    assert r.settings.tonemap == 3
+    assert float(r.params.pp.tm_operator) == 3
+    assert r.exposure == 2.5
+    assert float(r.params.pp.exposure) == 2.5
+    assert r.settings.denoiser_blend == 0.25
+    # accumulation was NOT restarted by the postprocess commands: the
+    # film still carries the weight from the `w` refresh
+    assert float(np.asarray(r.film.weight).sum()) > 0
+
+    # tonemap with no arg cycles 3 -> 0, and exposure scales the LDR image
+    img_raw = r.ldr_image()
+    script = io.StringIO("tonemap\nexposure 0.1\nq\n")
+    run_interactive(r, out_path=out, input_stream=script, echo=False)
+    assert r.settings.tonemap == 0
+    img_dim = r.ldr_image()
+    assert img_dim.mean() < img_raw.mean()
