@@ -46,6 +46,21 @@ LAST_GOOD_PATH = os.environ.get(
 def supervise(argv):
     """Run the benchmark in fresh worker subprocesses, retrying wedged
     backend inits with backoff. Prints exactly one JSON line on stdout."""
+    import signal
+
+    # `timeout N python bench.py` signals only the supervisor; forward it
+    # so a timed-out sweep entry can't orphan a worker that keeps holding
+    # the TPU
+    live = {"proc": None}
+
+    def _forward(signum, frame):
+        p = live["proc"]
+        if p is not None and p.poll() is None:
+            p.terminate()
+        os._exit(124)
+    signal.signal(signal.SIGTERM, _forward)
+    signal.signal(signal.SIGINT, _forward)
+
     total_budget = float(os.environ.get("BENCH_INIT_TIMEOUT", "900"))
     attempt_limit = float(os.environ.get("BENCH_ATTEMPT_INIT_TIMEOUT",
                                          str(min(240.0, total_budget))))
@@ -64,17 +79,20 @@ def supervise(argv):
             max(10.0, min(attempt_limit, deadline - time.time())))
         if attempt <= int(os.environ.get("BENCH_SIM_WEDGE", "0")):
             env["BENCH_SIM_WEDGE_NOW"] = "1"   # test hook: force a wedge
-        proc = subprocess.run(
+        proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)] + argv,
             env=env, stdout=subprocess.PIPE, text=True)
+        live["proc"] = proc
+        stdout, _ = proc.communicate()
+        live["proc"] = None
         last_rc = proc.returncode
         if proc.returncode == 0:
-            line = _json_line(proc.stdout)
+            line = _json_line(stdout)
             if line is not None:
                 print(json.dumps(line))
                 _save_last_good(line)
                 return 0
-            last_tail = (proc.stdout or "")[-300:]
+            last_tail = (stdout or "")[-300:]
             break                        # ran but produced no JSON: a bug
         if proc.returncode != 3:
             break                        # real failure, not an init wedge

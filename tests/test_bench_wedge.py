@@ -73,3 +73,46 @@ def test_all_attempts_wedged_no_last_good_falls_back_to_bench_artifacts(
     assert out["stale"] is True
     assert out["value"] is not None
     assert out["last_good"]["source"].startswith("BENCH_r")
+
+
+def test_supervisor_sigterm_kills_worker(tmp_path):
+    """`timeout` signals only the supervisor; it must take the worker down
+    with it (a timed-out sweep entry must not orphan a TPU-holding
+    worker)."""
+    import signal
+    import time
+
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "BENCH_FAKE": "1",
+        "BENCH_SIM_WEDGE": "1",            # worker hangs in the sim sleep
+        "BENCH_ATTEMPT_INIT_TIMEOUT": "60",
+        "BENCH_INIT_TIMEOUT": "90",
+        "BENCH_LAST_GOOD": str(tmp_path / "lg.json"),
+    })
+    env.pop("BENCH_WORKER", None)
+    env.pop("BENCH_SIM_WEDGE_NOW", None)
+    sup = subprocess.Popen([sys.executable, BENCH], env=env,
+                           stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    time.sleep(8)                          # let it spawn the worker
+    sup.send_signal(signal.SIGTERM)
+    sup.wait(timeout=15)
+    assert sup.returncode == 124
+    # the worker (child of the supervisor) must be gone shortly after
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        kids = [p for p in os.listdir("/proc") if p.isdigit()
+                and _ppid(p) == sup.pid]
+        if not kids:
+            break
+        time.sleep(0.5)
+    assert not kids, f"orphaned worker(s): {kids}"
+
+
+def _ppid(pid):
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            return int(f.read().split(")")[-1].split()[1])
+    except (OSError, ValueError, IndexError):
+        return -1
