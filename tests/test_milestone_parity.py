@@ -33,6 +33,15 @@ def _cases():
     return list(make_goldens.configs())
 
 
+def _box4(img):
+    """4x4 box downsample: averages 16 pixels, cutting independent MC
+    noise ~4x while leaving a systematic energy/structure bias intact —
+    the variance-normalization the round-3 verdict asked for."""
+    h, w = img.shape[:2]
+    return img[:h // 4 * 4, :w // 4 * 4].reshape(
+        h // 4, 4, w // 4, 4, -1).mean(axis=(1, 3))
+
+
 def _build(case, wf_buffer=8192):
     from fluctus_tpu.renderer import Renderer
     name, scene_file, env, settings, mutate = case
@@ -62,10 +71,28 @@ def test_wf_vs_mk(case):
     assert img_wf.mean() > 1e-3 and img_mk.mean() > 1e-3
     a, b = _tonemap(img_wf), _tonemap(img_mk)
     rmse = float(np.sqrt(np.mean((a - b) ** 2)))
-    # two independent SPP-sample estimates: noise-floor RMSE ~0.02-0.04 at
-    # these settings; an integrator bug (MIS weight, RR, splat count)
-    # measures 0.1+
+    rmse4 = float(np.sqrt(np.mean((_box4(a) - _box4(b)) ** 2)))
+    d_tm = abs(float(a.mean() - b.mean())) / max(float(b.mean()), 1e-9)
+    # Three gates, calibrated against measured values at exactly these
+    # deterministic settings (CPU, fixed seeds; round-4 measurement):
+    #   config            rmse    box4    d_tm
+    #   teapot_diffuse    0.0035  0.0007  0.08%
+    #   teapot_dielectric 0.0034  0.0007  0.04%
+    #   gold_rings        0.0086  0.0022  0.02%
+    #   egyptcat          0.0595  0.0150  0.04%
+    #   luxball           0.0270  0.0049  0.29%
+    # 1. full-res RMSE: localized artifacts (fireflies dominate on the
+    #    HDR-env scenes — egyptcat's raw mean diff is 4.4% at 16 spp yet
+    #    collapses to 0.7% at 64 spp: variance, not bias).
     assert rmse < 0.07, f"wf-vs-mk RMSE {rmse:.4f}"
+    # 2. box-downsampled RMSE: low-frequency structure/energy errors with
+    #    the noise floor averaged down 4x (2x margin over worst measured).
+    assert rmse4 < 0.03, f"wf-vs-mk box4 RMSE {rmse4:.4f}"
+    # 3. tonemapped mean energy: the sharp bias detector — tonemapping
+    #    compresses fireflies so the mean is stable (<0.3% measured), but
+    #    a systematic 3-5% energy bias (wrong MIS weight, RR bias, splat
+    #    miscount) survives compression at ~2-3% and fails this hard.
+    assert d_tm < 0.01, f"wf-vs-mk tonemapped mean diff {d_tm * 100:.2f}%"
 
 
 def test_fast_env_image_error():
