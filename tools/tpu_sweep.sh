@@ -44,4 +44,12 @@ timeout 2400 python tools/make_goldens.py --check 2>&1 | tail -8 | tee -a $LOG
 say "sc parity on hardware (sampled-ray parity, 320k)"
 timeout 1200 python tools/check_sc_parity.py 2>&1 | tail -5 | tee -a $LOG
 
+# 6. exact-spp tail vs free-running (verdict item 7): done bar ratio <= 1.3
+say "exact-spp tail benchmark (egyptcat 1080p, 64 spp)"
+timeout 3000 python tools/bench_exact_tail.py 2>/dev/null | tee -a $LOG
+
+# 7. gallery at scale (verdict item 9): 320k + 481k PNG/CSV via .bm.json
+say "big-scene gallery renders (.bm.json harness)"
+timeout 3000 python -m fluctus_tpu data/bigscene/bigscene.bm.json 2>&1 | tail -4 | tee -a $LOG
+
 echo "SWEEP DONE $(date)" | tee -a $LOG
