@@ -58,7 +58,8 @@ def main(argv=None):
     ap.add_argument("-o", "--output", default=None, help="output image path")
     args = ap.parse_args(argv)
 
-    if os.environ.get("FLT_FORCE_CPU") == "1":
+    from . import flags
+    if flags.env_bool("FORCE_CPU", False):
         # headless smoke runs on machines whose sitecustomize force-
         # registers the TPU plugin: env JAX_PLATFORMS alone is overridden
         import jax

@@ -40,6 +40,7 @@ Measured on v5e (wall-clock, dependent-chain timing, egyptcat 16k tris,
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from functools import partial
 
 import jax
@@ -54,14 +55,14 @@ from .bvh import BVHArrays
 F32_MAX = np.float32(3.4028235e38)
 HIGHEST = jax.lax.Precision.HIGHEST
 
-import os as _os
+from .. import flags
 # supercluster granularity (member clusters per super, build-time) and the
 # cluster count above which the two-level kernel takes over (dispatch-time):
 # below it the flat candidate list is cheaper
-SC_CLUSTERS = int(_os.environ.get("FLT_SC_CLUSTERS", "64"))
-SC_THRESHOLD = int(_os.environ.get("FLT_SC_THRESHOLD", "96"))
+SC_CLUSTERS = flags.env_int("SC_CLUSTERS", 64)
+SC_THRESHOLD = flags.env_int("SC_THRESHOLD", 96)
 # fine-cull granularity and sub-slots per packed visit for the rol4 kernel
-FINE_SIZE = int(_os.environ.get("FLT_FINE_SIZE", "64"))
+FINE_SIZE = flags.env_int("FINE_SIZE", 64)
 
 # bump when any table layout changes (ATTR_*/B16 columns, transform packing,
 # cluster/supercluster cut rules) — invalidates on-disk table caches
@@ -1852,7 +1853,7 @@ def _tile_order_v2(o4, d4, tmax_col, boxes, rt):
 
 
 def _tile_order_dispatch(o4, d4, tmax_col, boxes, rt, interpret):
-    if not interpret and _os.environ.get("FLT_TILE_ORDER", "2") == "2":
+    if not interpret and flags.env("TILE_ORDER", "2") == "2":
         return _tile_order_v2(o4, d4, tmax_col, boxes, rt)
     return _tile_order(o4, d4, tmax_col, boxes, rt)
 
@@ -1909,7 +1910,7 @@ def _tile_order(o4, d4, tmax_col, boxes, rt):
     # box-box distance: a direction-independent lower bound on ray travel
     # from any tile origin into the cluster (|p - o| >= dist) — this is the
     # bound that engages when a tile is origin-coherent but direction-mixed
-    if _os.environ.get("FLT_DIST_LO", "1") == "1":
+    if flags.env_bool("DIST_LO", True):
         gap = jnp.maximum(jnp.maximum(bmin - ohi, olo - bmax), 0.0)
         dist_lo = jnp.sqrt(jnp.sum(gap * gap, axis=2))  # [nt,ncl]
         tnear_lo = jnp.maximum(tnear_lo, dist_lo)
@@ -1921,7 +1922,7 @@ def _tile_order(o4, d4, tmax_col, boxes, rt):
         jnp.arange(ncl, dtype=jnp.int32)[None, :], (nt, ncl))
     skey, sidx = jax.lax.sort((key, idx), num_keys=1)
     order = jnp.where(skey >= _CULL_INF, -1, sidx)
-    cap = int(_os.environ.get("FLT_CAND_CAP", "0"))
+    cap = flags.env_int("CAND_CAP", 0)
     if cap > 0:   # diagnostic: truncate candidate lists (NOT correct)
         order = jnp.where(jnp.arange(ncl)[None, :] < cap, order, -1)
 
@@ -1988,23 +1989,23 @@ def _trace(o4, d4, tmax_col, scene_arrays, scene_static, any_hit, ray_tile,
     return out
 
 
-RAY_TILE = int(_os.environ.get("FLT_RAY_TILE", "512"))
-SORT_RAYS = _os.environ.get("FLT_SORT_RAYS", "1") == "1"
-ROL = _os.environ.get("FLT_ROL", "1") == "1"
-ROL_TILE = int(_os.environ.get("FLT_ROL_TILE", "512"))
+RAY_TILE = flags.env_int("RAY_TILE", 512)
+SORT_RAYS = flags.env_bool("SORT_RAYS", True)
+ROL = flags.env_bool("ROL", True)
+ROL_TILE = flags.env_int("ROL_TILE", 512)
 
 
-ROL_V = _os.environ.get("FLT_ROL_V", "1")
-RESOLVE_V = _os.environ.get("FLT_RESOLVE_V", "5")
+ROL_V = flags.env("ROL_V", "1")
+RESOLVE_V = flags.env("RESOLVE_V", "5")
 
 
 def _dispatch_trace(o4, d4, tmax_col, scene, any_hit, ray_tile, interpret):
     """Select the trace kernel: two-level supercluster (large scenes),
     rays-on-lanes (ROL) or rays-on-sublanes."""
-    sc_threshold = int(_os.environ.get("FLT_SC_THRESHOLD", str(SC_THRESHOLD)))
+    sc_threshold = flags.env_int("SC_THRESHOLD", SC_THRESHOLD)
     if ROL and scene.sc_box is not None and scene.t12 is not None \
             and scene.n_clusters > sc_threshold and not interpret:
-        if _os.environ.get("FLT_SC_SUB", "0") == "1" \
+        if flags.env_bool("SC_SUB", False) \
                 and scene.sub_box is not None:
             return _trace_rol_sc3(
                 o4, d4, tmax_col, scene.t12, scene.cluster_box,
@@ -2018,9 +2019,9 @@ def _dispatch_trace(o4, d4, tmax_col, scene, any_hit, ray_tile, interpret):
     if ROL and scene.fine_box is not None and scene.txy_t is not None \
             and not interpret and ROL_V == "4" \
             and scene.txy_t.size * 4 <= (12 << 20):
-        pk = int(_os.environ.get("FLT_PACK", "4"))
+        pk = flags.env_int("PACK", 4)
         coarse = scene.cluster_box \
-            if _os.environ.get("FLT_ROL4_COARSE", "0") == "1" else None
+            if flags.env_bool("ROL4_COARSE", False) else None
         return _trace_rol4(o4, d4, tmax_col, scene.txy_t, scene.fine_box,
                            (scene.fine_box.shape[0], FINE_SIZE, pk),
                            any_hit, ROL_TILE, interpret,
@@ -2139,12 +2140,12 @@ def _sorted_trace(o4, d4, tmax_col, scene, any_hit, ray_tile, interpret):
     if const_tmax:   # exit clamp IS the tmax; recomputed after the sort
         tmax_col = jnp.full((b, 1), F32_MAX, jnp.float32)
     tmax_col = _exit_clamp(o4, d4, tmax_col, lo, hi)
-    key_mode = _os.environ.get("FLT_KEY", "oct")
+    key_mode = flags.env("KEY", "oct")
     if any_hit:
         # shadow rays can keep sorting when ext rays run in block-lane
         # order: the occupancy cut (non-pending lanes sort to tail tiles
         # with empty candidate lists) only exists under a sort
-        key_mode = _os.environ.get("FLT_KEY_SHADOW", key_mode)
+        key_mode = flags.env("KEY_SHADOW", key_mode)
     if key_mode == "none":
         # no-sort mode: trace in LANE order. With the block-bound pool
         # (config.block_ring) lanes are already pixel-block-coherent —
@@ -2732,7 +2733,7 @@ def resolve_hits_mxu(orig: Vec3, d: Vec3, t, col, scene: MXUScene,
     n = col.shape[0]
     o4, d4, _ = _ray_inputs(orig, d, scene, None, ray_tile)
     col2, _ = _pad_rays(col.reshape(n, 1), ray_tile)
-    resolve_v = _os.environ.get("FLT_RESOLVE_V", RESOLVE_V)
+    resolve_v = flags.env("RESOLVE_V", RESOLVE_V)
     # "3"/"4" were earlier B16-resolve generations (replaced by v5) —
     # honor them as the B16 path rather than silently falling through to
     # the f32 fallback, which no longer exists on slim scenes

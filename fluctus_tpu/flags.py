@@ -1,0 +1,76 @@
+"""Experiment-knob registry — the single place env overrides are read.
+
+The reference bakes tuning decisions into kernels as compile-time defines
+(clcontext.cpp:145-155, kernel_impl.hpp getAdditionalBuildOptions); our
+analogue is static fields on ``geom.RenderConfig`` (retrace on change)
+plus the module constants below. Env overrides exist ONLY for hardware
+sweeps (tools/tpu_sweep.sh) and debugging: every production default must
+cite a measurement in PERF.md, and a knob whose sweep verdict is in
+loses its env override and becomes a plain constant (or is deleted with
+its code path — see tools/SWEEP_ACTIONS.md).
+
+Override names are ``FLT_<NAME>`` (e.g. ``FLT_ROL_V=4``). Values are read
+through the helpers at the moment the consumer evaluates them: constants
+annotated *import-time* freeze per process (sweeps run fresh processes);
+*call-time* knobs may be monkeypatched in tests.
+
+Knob inventory (defaults in parentheses):
+
+  Trace-kernel generation / layout — ``accel/mxu_trace.py``:
+    ROL ("1")            rays-on-lanes kernels vs sublane fallback [import]
+    ROL_V ("1")          fine-kernel generation: 1 flat / 2 resident /
+                         3 sub-block / 4 packed-fine (sweep pending) [import]
+    RESOLVE_V ("5")      winner-attr resolve generation [import+call]
+    RAY_TILE (512)       rays per Pallas grid row [import]
+    ROL_TILE (512)       rays per ROL tile (r2 measured optimum) [import]
+    PACK (4)             sub-slots per packed rol4 visit [call]
+    FINE_SIZE (64)       rol4 fine-cull granularity, tris [import]
+    ROL4_COARSE ("0")    candidate lists at cluster granularity [call]
+    SC_CLUSTERS (64)     member clusters per supercluster [import]
+    SC_THRESHOLD (96)    cluster count where the 2-level kernel engages
+                         [import; call-time override honored at dispatch]
+    SC_SUB ("0")         supercluster in-cluster sub-block culling [call]
+    SORT_RAYS ("1")      coherence sort before tiling [import]
+    KEY ("oct")          ext-ray sort key: oct/bal/dir/none [call]
+    KEY_SHADOW (=KEY)    shadow-ray override (occupancy cut needs a sort)
+                         [call]
+    TILE_ORDER ("2")     per-tile candidate builder version [call]
+    DIST_LO ("1")        box-box distance lower bound in tile culling
+                         (r2: 2x on bounce tiles) [call]
+    CAND_CAP (0)         diagnostic candidate-list truncation — NOT
+                         correct, sweeps only [call]
+
+  Wavefront host dispatch — ``renderer.py`` (measured r2/r3, PERF.md):
+    BLOCK_RING ("1")     block-bound pixel pool (exact-spp block splat)
+    WF_PHASES ("1")      trace/logic as separate programs (offload-op
+                         contention; r2: fused serializes)
+    WF_FUSED_SHADE ("1") shade fused into the logic program
+    SPLAT_EVERY (1)      film-scatter batching K (r3: K=4 lost, 8.9 vs
+                         9.9 — in-program scatter overlaps better)
+    FORCE_MK ("0")       debug escape: mk megastep for render_single on
+                         TPU instead of the exact-spp wavefront route
+
+  Environment / process:
+    FORCE_CPU ("0")      CLI: jax.config.update("jax_platforms","cpu")
+                         before first backend use (wedge-safe, PERF.md)
+    MULTIHOST ("0")      enable jax.distributed init (parallel/distributed)
+"""
+
+from __future__ import annotations
+
+import os
+
+_PREFIX = "FLT_"
+
+
+def env(name: str, default: str) -> str:
+    """Raw override read: ``FLT_<name>`` or the registered default."""
+    return os.environ.get(_PREFIX + name, default)
+
+
+def env_int(name: str, default: int) -> int:
+    return int(env(name, str(default)))
+
+
+def env_bool(name: str, default: bool = True) -> bool:
+    return env(name, "1" if default else "0") == "1"

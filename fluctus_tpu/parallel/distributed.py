@@ -23,6 +23,8 @@ from typing import Optional, Sequence
 
 import numpy as np
 
+from .. import flags
+
 
 def init_distributed(coordinator: Optional[str] = None,
                      num_processes: Optional[int] = None,
@@ -31,7 +33,7 @@ def init_distributed(coordinator: Optional[str] = None,
     (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).
     No-op (returns False) unless FLT_MULTIHOST=1 — single-host sessions
     must never block on a coordinator."""
-    if os.environ.get("FLT_MULTIHOST", "0") != "1":
+    if not flags.env_bool("MULTIHOST", False):
         return False
     import jax
 

@@ -18,6 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from . import flags
 from .accel import build_bvh, export_bvh, import_bvh, SplitMode
 from .accel.traverse import BVHDevice, TrianglesDevice
 from .core.integrator_mk import Film, RenderStats, render_sample
@@ -164,7 +165,7 @@ class Renderer:
                               or _lane_waste(groups) > 1 / 16):
             groups //= 2
         block = (on_tpu and groups > 1
-                 and os.environ.get("FLT_BLOCK_RING", "1") == "1")
+                 and flags.env_bool("BLOCK_RING", s.wf_block_ring))
 
         self.config = RenderConfig(
             width=self.width, height=self.height,
@@ -381,7 +382,7 @@ class Renderer:
         the semantics via the CHECK_SPP cap. Set FLT_FORCE_MK=1 to force
         the mk megastep anyway (tests / small depths)."""
         if self.config.backend == "mxu" and \
-                os.environ.get("FLT_FORCE_MK", "0") != "1":
+                not flags.env_bool("FORCE_MK", False):
             return self.render_single_wavefront(spp, accumulate=True,
                                                 progress=progress)
         cfg = self.config.replace(use_roulette=False)
@@ -418,7 +419,7 @@ class Renderer:
         # two-dispatch segments: trace and logic as separate programs keep
         # each program's sort/gather/scatter offload-op count low — fused
         # into one program they contend and serialize on this TPU
-        self._wf_phased = os.environ.get("FLT_WF_PHASES", "1") == "1"
+        self._wf_phased = flags.env_bool("WF_PHASES", self.settings.wf_phases)
         if not hasattr(self, "_wf_step"):
             # one jit wrapper for the lifetime of the renderer — a fresh
             # wrapper would re-trace and recompile (minutes on this toolchain)
@@ -443,7 +444,8 @@ class Renderer:
         # Default 1 (off): measured 8.9 vs 9.9 Mrays/s at K=4 — the
         # in-program scatter overlaps other work better than the
         # amortization saves.
-        self._splat_every = int(os.environ.get("FLT_SPLAT_EVERY", "1"))
+        self._splat_every = flags.env_int("SPLAT_EVERY",
+                                          self.settings.wf_splat_every)
 
     def render_wavefront(self, segments: int, sync: bool = True):
         """Advance the wavefront `segments` steps (Tracer::update loop body,
@@ -458,7 +460,8 @@ class Renderer:
         cfg = self._wf_cfg
         defer = (self._wf_phased and cfg.max_spp == 0
                  and not cfg.block_ring and self._splat_every > 1)
-        fused_shade = os.environ.get("FLT_WF_FUSED_SHADE", "1") == "1"
+        fused_shade = flags.env_bool("WF_FUSED_SHADE",
+                                     self.settings.wf_fused_shade)
         for _ in range(segments):
             if self._wf_phased:
                 raw, occ = self._wf_trace(

@@ -85,6 +85,14 @@ class Settings:
     # hierarchy builder: "sah" (tracer.cpp:949 default) or "sbvh"
     # (spatial splits, SBVH class tracer.cpp:1120-1124)
     split_mode: str = "sah"
+    # Wavefront host-dispatch tuning (TPU-specific; no reference analogue —
+    # the reference's counterpart is its compile-time define set,
+    # clcontext.cpp:145-155). Defaults are hardware-measured (PERF.md);
+    # FLT_* env overrides for sweeps live in flags.py.
+    wf_block_ring: bool = True      # block-bound pixel pool (exact splat)
+    wf_phases: bool = True          # trace/logic as separate programs
+    wf_fused_shade: bool = True     # shade fused into the logic program
+    wf_splat_every: int = 1         # film-scatter batching K (r3: K=1 won)
     shortcuts: Dict[int, str] = dataclasses.field(default_factory=dict)
     camera: CameraSettings = dataclasses.field(default_factory=CameraSettings)
     area_light: AreaLightSettings = dataclasses.field(
@@ -122,6 +130,10 @@ class Settings:
         self.use_soa = g("clUseSoA", self.use_soa)
         self.wf_buffer_size = g("wfBufferSize", self.wf_buffer_size)
         self.use_wavefront = g("useWavefront", self.use_wavefront)
+        self.wf_block_ring = g("wfBlockRing", self.wf_block_ring)
+        self.wf_phases = g("wfPhases", self.wf_phases)
+        self.wf_fused_shade = g("wfFusedShade", self.wf_fused_shade)
+        self.wf_splat_every = g("wfSplatEvery", self.wf_splat_every)
         self.use_russian_roulette = g("useRussianRoulette",
                                       self.use_russian_roulette)
         self.use_separate_queues = g("useSeparateQueues",

@@ -74,3 +74,30 @@ def test_stats(teapot_render):
     assert int(r.stats.shadow_rays) > 0
     perf = r.perf_mrays(1.0)
     assert perf["total"] > 0
+
+
+def test_dispatch_knobs_settings_and_env(teapot_render, monkeypatch):
+    """Host-dispatch tuning knobs route settings.json -> Settings ->
+    renderer, with FLT_* env reserved as the experiment override
+    (flags.py registry; reference analogue: compile-time defines,
+    clcontext.cpp:145-155)."""
+    r, tmp = teapot_render
+    s = Settings()
+    s.import_json({"wfPhases": False, "wfSplatEvery": 3,
+                   "wfFusedShade": False, "wfBlockRing": False})
+    assert (s.wf_phases, s.wf_splat_every,
+            s.wf_fused_shade, s.wf_block_ring) == (False, 3, False, False)
+
+    old = r.settings
+    try:
+        r.settings = s
+        r.init_wavefront(num_tasks=1024)
+        assert r._wf_phased is False and r._splat_every == 3
+        # env override beats the settings value (sweep knob)
+        monkeypatch.setenv("FLT_WF_PHASES", "1")
+        monkeypatch.setenv("FLT_SPLAT_EVERY", "2")
+        r.init_wavefront(num_tasks=1024)
+        assert r._wf_phased is True and r._splat_every == 2
+    finally:
+        r.settings = old
+        r.init_wavefront(num_tasks=1024)
