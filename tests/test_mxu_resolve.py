@@ -172,3 +172,40 @@ def test_slim_build_trims_dead_tables():
     assert mxu.t12b is not None and mxu.cluster_box is not None
     # teapot's txy_t is under the rol residency gate -> kept
     assert mxu.txy_t is not None and mxu.fine_box is not None
+
+
+def test_resolve_v5s_matches_v5():
+    """The HBM-streamed resolve (_resolve_v5s — dispatched when the B16
+    table exceeds the VMEM residency budget, i.e. the conference/kitchen
+    -scale path) must produce exactly what the resident-table _resolve_v5
+    produces: same tables, same math, only the staging differs."""
+    from fluctus_tpu.accel import mxu_trace as mt
+    s = Scene()
+    s.load_model("/root/reference/assets/teapot.ply")
+    p, nrm, uv, mid = s.triangle_arrays()
+    bvh = build_bvh(p)
+    mxu = MXUScene.build(p, bvh, cluster_size=256, normals=nrm, uvs=uv,
+                         mat_ids=mid, materials=s.materials)
+    assert mxu.b16t is not None
+
+    rng = np.random.default_rng(11)
+    lo, hi = p.reshape(-1, 3).min(0), p.reshape(-1, 3).max(0)
+    c = (lo + hi) / 2
+    r = np.linalg.norm(hi - lo)
+    o = c + rng.standard_normal((256, 3)) * r
+    tg = lo + rng.random((256, 3)) * (hi - lo)
+    d = tg - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ov = Vec3(*[jnp.asarray(o[:, i], jnp.float32) for i in range(3)])
+    dv = Vec3(*[jnp.asarray(d[:, i], jnp.float32) for i in range(3)])
+
+    t, tri, u, v, col = closest_hit_mxu_full(ov, dv, mxu, ray_tile=256,
+                                             interpret=True)
+    n = col.shape[0]
+    o4, d4, _ = mt._ray_inputs(ov, dv, mxu, None, 256)
+    col2, _ = mt._pad_rays(col.reshape(n, 1), 256)
+    args = (col2, o4, d4, mxu.b16t, mxu.t12b,
+            (mxu.n_clusters, mxu.cluster_size), 256, True)
+    v5 = np.asarray(mt._resolve_v5(*args))
+    v5s = np.asarray(mt._resolve_v5s(*args))
+    np.testing.assert_array_equal(v5s, v5)
