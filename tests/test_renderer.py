@@ -101,3 +101,35 @@ def test_dispatch_knobs_settings_and_env(teapot_render, monkeypatch):
     finally:
         r.settings = old
         r.init_wavefront(num_tasks=1024)
+
+
+def test_wavefront_dispatch_variants_agree(teapot_render, monkeypatch):
+    """The four render_wavefront host-dispatch shapes (phased+fused-shade,
+    phased+resolve/logic, phased+deferred-splat-batching, single fused
+    program) are A/B'd against each other in hardware sweeps — they must
+    produce the same film and identical integer counters for the same
+    pool (same jitted math, different program partitions)."""
+    r, tmp = teapot_render
+
+    def run(phases, fused, every):
+        monkeypatch.setenv("FLT_WF_PHASES", phases)
+        monkeypatch.setenv("FLT_WF_FUSED_SHADE", fused)
+        monkeypatch.setenv("FLT_SPLAT_EVERY", every)
+        r.init_wavefront(num_tasks=1024)
+        r.render_wavefront(4, sync=True)
+        st = r.wavefront_stats()
+        film = np.stack([np.asarray(r._wf_state.film.color.x),
+                         np.asarray(r._wf_state.film.color.y),
+                         np.asarray(r._wf_state.film.color.z),
+                         np.asarray(r._wf_state.film.weight)])
+        return film, (int(st.primary_rays), int(st.extension_rays),
+                      int(st.shadow_rays), int(st.samples))
+
+    base_film, base_cnt = run("1", "1", "1")
+    assert base_cnt[3] > 0 and base_film[3].sum() > 0
+    for phases, fused, every in (("1", "0", "1"), ("1", "0", "2"),
+                                 ("0", "1", "1")):
+        film, cnt = run(phases, fused, every)
+        assert cnt == base_cnt, (phases, fused, every)
+        np.testing.assert_allclose(film, base_film, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"{phases}/{fused}/{every}")
