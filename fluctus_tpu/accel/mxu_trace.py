@@ -1811,8 +1811,8 @@ def _tile_order_kernel(o_ref, tm_ref, box_ref, cons_ref, *, rt, ncl,
     cons_ref[0] = cons
 
 
-@partial(jax.jit, static_argnames=("rt",))
-def _tile_order_v2(o4, d4, tmax_col, boxes, rt):
+@partial(jax.jit, static_argnames=("rt", "interpret"))
+def _tile_order_v2(o4, d4, tmax_col, boxes, rt, interpret=False):
     """Per-tile candidate lists from EXACT per-ray slab tests (pallas),
     sorted front-to-back by the tile's min entry bound. Same contract as
     _tile_order but ~2x tighter lists on divergent bounce tiles (interval
@@ -1842,6 +1842,7 @@ def _tile_order_v2(o4, d4, tmax_col, boxes, rt):
         out_specs=pl.BlockSpec((1, ncl_pad, 1), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nt, ncl_pad, 1), jnp.float32),
+        interpret=interpret,
     )(rays, tm, boxes)
 
     key = cons[:, :, 0]                                   # [nt, ncl_pad]
@@ -1853,8 +1854,8 @@ def _tile_order_v2(o4, d4, tmax_col, boxes, rt):
 
 
 def _tile_order_dispatch(o4, d4, tmax_col, boxes, rt, interpret):
-    if not interpret and flags.env("TILE_ORDER", "2") == "2":
-        return _tile_order_v2(o4, d4, tmax_col, boxes, rt)
+    if flags.env("TILE_ORDER", "2") == "2":
+        return _tile_order_v2(o4, d4, tmax_col, boxes, rt, interpret)
     return _tile_order(o4, d4, tmax_col, boxes, rt)
 
 

@@ -200,3 +200,19 @@ def test_rol_generations_parity(teapot, gen):
     t_lo = np.where(hit_b, t_b * 0.5, 3.4e38).astype(np.float32)
     _, ia2 = run(jnp.asarray(t_lo)[:, None], True)
     assert not (np.asarray(ia2).reshape(-1)[hit_b] >= 0).any()
+
+
+def test_tile_order_v1_v2_same_winners(teapot, monkeypatch):
+    """_tile_order_v2 (exact per-ray slab union, the production default)
+    and the interval-arithmetic _tile_order build different candidate
+    lists but both are conservative — final winners must be identical."""
+    p, mxu, tris = teapot
+    o, d = _rays(p, 512, seed=5)
+    outs = []
+    for v in ("2", "1"):
+        monkeypatch.setenv("FLT_TILE_ORDER", v)
+        t, tri, u, vv, = closest_hit_mxu(o, d, mxu, ray_tile=256,
+                                         interpret=True)
+        outs.append((np.asarray(t), np.asarray(tri)))
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
