@@ -144,6 +144,11 @@ def _save_last_good(obj):
     try:
         rec = dict(obj)
         rec["recorded_unix"] = int(time.time())
+        # provenance: a stale value must be traceable to its exact config
+        knobs = {k: v for k, v in os.environ.items()
+                 if k.startswith(("FLT_", "BENCH_")) and k != "BENCH_WORKER"}
+        if knobs:
+            rec["env"] = knobs
         os.makedirs(os.path.dirname(LAST_GOOD_PATH), exist_ok=True)
         with open(LAST_GOOD_PATH, "w") as f:
             json.dump(rec, f, indent=1)

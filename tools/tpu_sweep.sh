@@ -2,9 +2,14 @@
 # One-shot TPU work queue for when the chip recovers.
 # Ordered so the highest-value evidence lands first (a mid-sweep wedge
 # should never erase the headline numbers again).
+# The log lives IN THE REPO (data/sweep_logs/) and the script ends with a
+# git commit of the evidence files, so results survive even if the builder
+# session is down when the chip comes back.
 cd /root/repo
-LOG=${SWEEP_LOG:-/tmp/tpu_sweep.log}
+mkdir -p data/sweep_logs
+LOG=${SWEEP_LOG:-data/sweep_logs/sweep_$(date +%m%d_%H%M).log}
 : > $LOG
+ln -sf "$(basename $LOG)" data/sweep_logs/latest.log 2>/dev/null || true
 say() { echo "=== $(date +%H:%M:%S) $*" | tee -a $LOG; }
 run() { say "$*"; timeout 900 env "$@" python tools/bench_trace.py 2>&1 | grep -E "closest|anyhit|hit rate" | tee -a $LOG; }
 e2e() { local t=$1; shift; say "e2e $*"; timeout $t env BENCH_BIG=0 BENCH_SEGMENTS=24 "$@" python bench.py 2>/dev/null | tee -a $LOG; }
@@ -52,4 +57,16 @@ timeout 3000 python tools/bench_exact_tail.py 2>/dev/null | tee -a $LOG
 say "big-scene gallery renders (.bm.json harness)"
 timeout 3000 python -m fluctus_tpu data/bigscene/bigscene.bm.json 2>&1 | tail -4 | tee -a $LOG
 
+# 8. final full-length DEFAULT-flags run: leaves data/bench_last_good.json
+# holding the number the driver's own bench invocation will reproduce
+say "final default-config bench (full length, BENCH_BIG=1)"
+timeout 3600 python bench.py 2>/dev/null | tee -a $LOG
+
 echo "SWEEP DONE $(date)" | tee -a $LOG
+
+# Persist the evidence even if no builder session is alive right now:
+# the driver only snapshots committed/working-tree repo files.
+git add data/sweep_logs data/bench_last_good.json tests/goldens \
+        gallery 2>/dev/null
+git commit -q -m "TPU sweep evidence: e2e flag A/Bs, big-scene numbers, goldens, last-good bench record" \
+    2>/dev/null || true
