@@ -2697,8 +2697,8 @@ def _resolve_v5s(col, o4, d4, tbl_t, t12b, scene_static, ray_tile,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, rt), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),    # bf16 table in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),    # f32 transforms in HBM
+            pl.BlockSpec(memory_space=pl.ANY),    # bf16 table in HBM
+            pl.BlockSpec(memory_space=pl.ANY),    # f32 transforms in HBM
         ],
         out_specs=pl.BlockSpec((ATTR_COLS, rt), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
