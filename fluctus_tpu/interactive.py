@@ -32,6 +32,23 @@ Commands:
   tonemap [0-3]      tonemap operator (0 linear, 1 Reinhard, 2 UC2
                      filmic, 3 raw) or cycle; postprocess-only — no
                      accumulation restart (tracer_ui.cpp:355-366)
+  depth <n>          maximum path depth (tracer_ui.cpp:213 slider;
+                     compile-time -> retrace)
+  rr [0|1]           Russian roulette toggle (tracer_ui.cpp:181)
+  maxspp <n>         accumulation cap, 0 = unbounded (tracer_ui.cpp:233)
+  scale <f>          render scale: re-create the film at f x the launch
+                     resolution (tracer_ui.cpp:256-303)
+  aperture <f>       thin-lens aperture size (tracer_ui.cpp:320)
+  envstrength <f>    environment-map emission multiplier
+                     (tracer_ui.cpp:434)
+  arealight size <f> | int <f> | color <r> <g> <b>
+                     area-light edits (tracer_ui.cpp:448-486): size sets
+                     the half-extents, int rescales E's peak, color
+                     re-tints E preserving the peak
+  denoise [0|1]      denoiser enable (tracer_ui.cpp:388; retrace —
+                     feature accumulation is compile-time)
+  integrator [wf|mk] preview integrator: wavefront segments vs the
+                     microkernel exact-spp path (tracer_ui.cpp:129-150)
   exposure <f>       exposure multiplier (tracer_ui exposure slider);
                      postprocess-only
   blend <f>          denoiser blend 0..1 (0 = original, 1 = fully
@@ -54,13 +71,24 @@ def run_interactive(renderer, out_path: str = "preview.png",
     stream = input_stream or sys.stdin
     segments = 8
     fast_preview = False
+    mode_mk = False
     processed = 0
+    # launch resolution = scale-1.0 reference for the `scale` command
+    s0 = max(getattr(renderer.settings, "render_scale", 1.0), 1e-6)
+    base_w = int(round(renderer.width / s0))
+    base_h = int(round(renderer.height / s0))
 
     def refresh():
         # recompileKernels analogue: sampling/light toggles flip STATIC
         # config flags — retrace, don't just update params
         renderer.rebuild_config()
         renderer.reset()
+        if mode_mk:
+            # microkernel preview (integrator combo, tracer_ui.cpp:129):
+            # exact-spp batch step instead of free-running segments
+            renderer.render_single(spp=max(1, min(segments, 16)))
+            _save_frame()
+            return
         renderer.init_wavefront(renderer.num_tasks
                                 if getattr(renderer, "num_tasks", None)
                                 else None)
@@ -283,8 +311,75 @@ def run_interactive(renderer, out_path: str = "preview.png",
                 # result (tracer.cpp:339-356 gating + setBlend)
                 has_feat = getattr(renderer, "features", None) is not None
                 repost(denoised=renderer.config.denoiser and has_feat)
+            elif op == "depth":
+                renderer.settings.max_path_depth = max(1, int(cmd[1]))
+                if echo:
+                    print(f"  max path depth: "
+                          f"{renderer.settings.max_path_depth}")
+                refresh()
+            elif op == "rr":
+                s = renderer.settings
+                s.use_russian_roulette = (bool(int(cmd[1]))
+                                          if len(cmd) > 1
+                                          else not s.use_russian_roulette)
+                if echo:
+                    print("  russian roulette "
+                          f"{'on' if s.use_russian_roulette else 'off'}")
+                refresh()
+            elif op == "maxspp":
+                renderer.settings.max_spp = max(0, int(cmd[1]))
+                refresh()
+            elif op == "scale":
+                fct = float(cmd[1])
+                renderer.settings.render_scale = fct
+                renderer.resize(max(1, int(base_w * fct)),
+                                max(1, int(base_h * fct)))
+                if echo:
+                    print(f"  render scale {fct:g}: "
+                          f"{renderer.width}x{renderer.height}")
+                refresh()
+            elif op == "aperture":
+                renderer.settings.camera.aperture_size = float(cmd[1])
+                refresh()
+            elif op == "envstrength":
+                renderer.env_map_strength = float(cmd[1])
+                refresh()
+            elif op == "denoise":
+                s = renderer.settings
+                s.use_denoiser = (bool(int(cmd[1])) if len(cmd) > 1
+                                  else not s.use_denoiser)
+                if echo:
+                    print(f"  denoiser {'on' if s.use_denoiser else 'off'}")
+                refresh()
+            elif op == "arealight":
+                a = renderer.settings.area_light
+                sub = cmd[1].lower()
+                peak = max(max(a.E), 1e-9)
+                if sub == "size":
+                    v = float(cmd[2])
+                    a.size = (v, v)
+                elif sub in ("int", "intensity"):
+                    v = float(cmd[2])
+                    a.E = tuple(e / peak * v for e in a.E)
+                elif sub == "color":
+                    c = (float(cmd[2]), float(cmd[3]), float(cmd[4]))
+                    cpk = max(max(c), 1e-9)
+                    a.E = tuple(x / cpk * peak for x in c)
+                else:
+                    print(f"  ? unknown arealight field: {sub}")
+                    continue
+                refresh()
+            elif op == "integrator":
+                mode_mk = ((cmd[1].lower() in ("mk", "microkernel"))
+                           if len(cmd) > 1 else not mode_mk)
+                renderer.settings.use_wavefront = not mode_mk
+                if echo:
+                    print(f"  integrator: "
+                          f"{'microkernel' if mode_mk else 'wavefront'}")
+                refresh()
             elif op == "png":
-                renderer.film = renderer.wavefront_film()
+                if not mode_mk:
+                    renderer.film = renderer.wavefront_film()
                 renderer.save_image(cmd[1])
             else:
                 print(f"  ? unknown command: {op}")

@@ -146,6 +146,16 @@ class Renderer:
             env=scene.envmap.device_tables() if scene.envmap else None,
             material_types=scene.material_types,
             mxu=mxu)
+        self._derive_config(use_env)
+
+    def _derive_config(self, use_env: bool):
+        """Static RenderConfig from current settings + film dimensions.
+        Split out of the scene upload so resize() can re-derive the
+        pixel-count-dependent fields (pool grouping, width/height) — the
+        render-scale slider path (tracer_ui.cpp:256-303)."""
+        s = self.settings
+        scene = self.scene
+        on_tpu = jax.default_backend() == "tpu"
 
         # block-bound wavefront pool: pick a group count compatible with
         # the image and the default pool size (power of two, each group
@@ -195,9 +205,20 @@ class Renderer:
             sample_impl=s.sample_implicit,
             sample_expl=s.sample_explicit,
             use_roulette=s.use_russian_roulette,
+            max_bounces=s.max_path_depth,
             max_spp=s.max_spp,
             denoiser=s.use_denoiser)
         self.params = self._make_params()
+
+    def resize(self, width: int, height: int):
+        """Re-create the film at a new resolution (the render-scale
+        slider, tracer_ui.cpp:256-303): re-derives the pixel-dependent
+        static config (retrace), rebuilds params, restarts accumulation."""
+        self.width, self.height = max(1, int(width)), max(1, int(height))
+        self._derive_config(self.config.use_env_map)
+        self.params = self._make_params()
+        self.reset()
+        self._wf_state = None
 
     def reload_materials(self):
         """Re-upload materials/textures after host-side edits (material

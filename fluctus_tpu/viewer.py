@@ -35,7 +35,7 @@ pre {{ color: #9a9; }}
 <h3>fluctus_tpu — live render</h3>
 <img id="frame" src="/frame.png" alt="(no frame yet)">
 <p><form method="post" action="/cmd">
-<input name="c" placeholder="w/s/a/d/r/f, look 10 0, tonemap 2, exposure 1.5, blend 0.8, mat 0 kd 1 0 0, q ..."
+<input name="c" placeholder="w/s/a/d/r/f, look 10 0, depth 4, rr, maxspp 64, scale 0.5, aperture .001, envstrength 2, arealight int 50, integrator mk, tonemap 2, exposure 1.5, blend 0.8, mat 0 kd 1 0 0, q ..."
  autofocus></form></p>
 <pre>{log}</pre>
 <script>

@@ -203,3 +203,63 @@ def test_interactive_postprocess_controls(tmp_path):
     assert r.settings.tonemap == 0
     img_dim = r.ldr_image()
     assert img_dim.mean() < img_raw.mean()
+
+
+def test_interactive_renderer_panel_controls(tmp_path):
+    """The remaining toolbar widgets (tracer_ui.cpp:129-486): path depth,
+    RR, maxSpp, render scale, aperture, env strength, area-light
+    size/intensity/color — each round-trips through settings into the
+    static config (retrace) or the live RenderParams."""
+    s = Settings()
+    s.use_env_map = True
+    s.use_area_light = True
+    s.max_path_depth = 2
+    s.wf_buffer_size = 2048
+    r = Renderer(8, 8, settings=s, data_dir=str(tmp_path / "data"))
+    r.load_scene("/root/reference/assets/teapot.ply",
+                 env_map="/root/reference/assets/env_maps/night.hdr")
+    out = str(tmp_path / "p.png")
+    script = io.StringIO(
+        "spp 2\ndepth 3\nrr 1\nmaxspp 7\naperture 0.002\n"
+        "envstrength 2.5\narealight size 1.5\narealight int 40\n"
+        "arealight color 1 0.5 0.25\nscale 0.5\nq\n")
+    n = run_interactive(r, out_path=out, input_stream=script, echo=False)
+    assert n == 11
+    # compile-time flags landed in the static config (retrace path)
+    assert r.settings.max_path_depth == 3 and r.config.max_bounces == 3
+    assert r.settings.use_russian_roulette and r.config.use_roulette
+    assert r.config.max_spp == 7 and int(r.params.max_spp) == 7
+    # dynamic params landed in the live RenderParams
+    assert abs(float(r.params.camera.aperture_size) - 0.002) < 1e-8
+    assert float(r.params.env_map_strength) == 2.5
+    al = r.settings.area_light
+    assert al.size == (1.5, 1.5)
+    # `int 40` sets the peak; `color 1 .5 .25` re-tints preserving it
+    assert al.E == (40.0, 20.0, 10.0)
+    assert float(r.params.area_light.E.x) == 40.0
+    # scale 0.5 of the 8x8 launch size -> 4x4 film, reset accumulation
+    assert (r.width, r.height) == (4, 4)
+    assert np.asarray(r.film.weight).shape[0] == 16
+
+
+def test_interactive_integrator_switch(tmp_path):
+    """`integrator mk` previews via the exact-spp microkernel path
+    (integrator combo, tracer_ui.cpp:129-150): the film weight is exactly
+    the requested spp on every pixel, and `integrator wf` switches back."""
+    s = Settings()
+    s.use_env_map = True
+    s.use_area_light = False
+    s.max_path_depth = 2
+    s.wf_buffer_size = 2048
+    r = Renderer(8, 8, settings=s, data_dir=str(tmp_path / "data"))
+    r.load_scene("/root/reference/assets/teapot.ply",
+                 env_map="/root/reference/assets/env_maps/night.hdr")
+    out = str(tmp_path / "p.png")
+    script = io.StringIO("spp 3\nintegrator mk\nq\n")
+    run_interactive(r, out_path=out, input_stream=script, echo=False)
+    assert not r.settings.use_wavefront
+    w = np.asarray(r.film.weight)
+    assert (w == 3).all(), "mk preview must deposit exactly spp samples"
+    script = io.StringIO("integrator wf\nq\n")
+    run_interactive(r, out_path=out, input_stream=script, echo=False)
+    assert r.settings.use_wavefront
