@@ -72,6 +72,7 @@ def run_interactive(renderer, out_path: str = "preview.png",
     segments = 8
     fast_preview = False
     mode_mk = False
+    renderer.preview_integrator = "wf"   # viewer /state.json reads this
     processed = 0
     # launch resolution = scale-1.0 reference for the `scale` command
     s0 = max(getattr(renderer.settings, "render_scale", 1.0), 1e-6)
@@ -373,6 +374,7 @@ def run_interactive(renderer, out_path: str = "preview.png",
                 mode_mk = ((cmd[1].lower() in ("mk", "microkernel"))
                            if len(cmd) > 1 else not mode_mk)
                 renderer.settings.use_wavefront = not mode_mk
+                renderer.preview_integrator = "mk" if mode_mk else "wf"
                 if echo:
                     print(f"  integrator: "
                           f"{'microkernel' if mode_mk else 'wavefront'}")

@@ -1,7 +1,9 @@
 """Browser live viewer (PTWindow stand-in): HTTP server + the REPL
 command interpreter, driven over real sockets."""
 
+import json
 import os
+import time
 import threading
 import urllib.parse
 import urllib.request
@@ -41,12 +43,40 @@ def test_viewer_http_roundtrip(tmp_path):
         data = urllib.parse.urlencode({"c": cmd}).encode()
         urllib.request.urlopen(base + "/cmd", data=data, timeout=120)
 
+    # toolbar widget panel is served (nanogui analogue)
+    for wid in ("integrator", "depth", "rr", "maxspp", "scale", "fov",
+                "aperture", "tonemap", "exposure", "denoise", "blend",
+                "envstrength", "al_size", "al_int", "al_color"):
+        assert f'id="{wid}"' in page, f"missing widget {wid}"
+
     post("spp 1")
     post("w")           # camera forward + refresh -> writes the frame
-    post("q")
+
+    # widget commands land in the live state (updateGUI round-trip):
+    # posts enqueue asynchronously — poll /state.json until both applied
+    post("depth 5")
+    post("exposure 1.7")
+    deadline = time.time() + 150
+    st = {}
+    while time.time() < deadline:
+        st = json.loads(urllib.request.urlopen(
+            base + "/state.json", timeout=30).read())
+        if st.get("depth") == 5 and abs(st.get("exposure", 0) - 1.7) < 1e-9:
+            break
+        time.sleep(1.0)
+    assert st["depth"] == 5 and abs(st["exposure"] - 1.7) < 1e-9
+    assert st["integrator"] == "wf"
+    assert st["al_color"].startswith("#") and len(st["al_color"]) == 7
+
+    # the q POST's 303 redirect-follow GET races server shutdown once the
+    # command queue is empty — tolerate a reset on that final request
+    try:
+        post("q")
+    except (urllib.error.URLError, OSError):
+        pass
     t.join(180)
     assert not t.is_alive()
-    assert result["n"] == 3
+    assert result["n"] == 5
     assert os.path.exists(out)
     # the `w` was executed before shutdown
     assert r.settings.camera.pos[2] < 4.0
