@@ -283,6 +283,11 @@ def run_interactive(renderer, out_path: str = "preview.png",
                 # keeps iterating while idle, Tracer::update) — refine the
                 # current view by n more segments
                 n_more = int(cmd[1]) if len(cmd) > 1 else segments
+                if mode_mk:
+                    # renderSingle accumulates progressively — n more spp
+                    renderer.render_single(spp=max(1, n_more))
+                    _save_frame()
+                    continue
                 if getattr(renderer, "_wf_state", None) is None:
                     refresh()          # nothing accumulated yet
                     continue

@@ -255,11 +255,13 @@ def test_interactive_integrator_switch(tmp_path):
     r.load_scene("/root/reference/assets/teapot.ply",
                  env_map="/root/reference/assets/env_maps/night.hdr")
     out = str(tmp_path / "p.png")
-    script = io.StringIO("spp 3\nintegrator mk\nq\n")
+    script = io.StringIO("spp 3\nintegrator mk\nmore 2\nq\n")
     run_interactive(r, out_path=out, input_stream=script, echo=False)
     assert not r.settings.use_wavefront
     w = np.asarray(r.film.weight)
-    assert (w == 3).all(), "mk preview must deposit exactly spp samples"
+    # 3 spp from the mk refresh + 2 from `more` (progressive renderSingle
+    # accumulation, no restart)
+    assert (w == 5).all(), "mk preview must deposit exactly spp samples"
     script = io.StringIO("integrator wf\nq\n")
     run_interactive(r, out_path=out, input_stream=script, echo=False)
     assert r.settings.use_wavefront
