@@ -2233,6 +2233,13 @@ def closest_hit_mxu_full(orig: Vec3, d: Vec3, scene: MXUScene, t_max=None,
     t = t[:n, 0]
     i = i[:n, 0]
     tri = jnp.where(i >= 0, jnp.take(scene.tri_map, jnp.maximum(i, 0)), -1)
+    if scene.txy_t is None:
+        # slim tables (production at >64k tris) drop the [Mpad, 12]
+        # transposed transforms this debug-path recovery gathers from —
+        # return the kernel's packed-winner t (reduced mantissa, column
+        # bits spliced in) and u = v = 0; resolve_hits_mxu recovers the
+        # exact f32 t/u/v gather-free from the cluster-blocked t12b
+        return t, tri, jnp.zeros_like(t), jnp.zeros_like(t), i
     # t, u, v from the winning transform rows (test/debug path)
     safe = jnp.maximum(i, 0)
     tw = jnp.take(scene.txy_t, safe, axis=0)          # [n, 12]

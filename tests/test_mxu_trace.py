@@ -202,6 +202,26 @@ def test_rol_generations_parity(teapot, gen):
     assert not (np.asarray(ia2).reshape(-1)[hit_b] >= 0).any()
 
 
+def test_closest_hit_without_txyt(teapot):
+    """Slim tables (>64k tris production) drop txy_t, the exact-t debug
+    recovery input — closest_hit_mxu must still return the same winners,
+    with the kernel's packed t close to the exact one (the resolve row
+    carries the exact f32 t at scale; check_sc_parity.py --big path)."""
+    import dataclasses
+    p, mxu, tris = teapot
+    o, d = _rays(p, 256, seed=7)
+    t0, tri0, u0, v0 = closest_hit_mxu(o, d, mxu, ray_tile=256,
+                                       interpret=True)
+    slim = dataclasses.replace(mxu, txy_t=None)
+    t1, tri1, u1, v1 = closest_hit_mxu(o, d, slim, ray_tile=256,
+                                       interpret=True)
+    np.testing.assert_array_equal(np.asarray(tri0), np.asarray(tri1))
+    hit = np.asarray(tri0) >= 0
+    rel = (np.abs(np.asarray(t1) - np.asarray(t0))[hit]
+           / np.maximum(np.asarray(t0)[hit], 1e-6))
+    assert rel.max() < 1e-2, "packed kernel t strayed from the exact t"
+
+
 def test_tile_order_v1_v2_same_winners(teapot, monkeypatch):
     """_tile_order_v2 (exact per-ray slab union, the production default)
     and the interval-arithmetic _tile_order build different candidate

@@ -58,6 +58,12 @@ def run_mxu():
                                     jnp.full(n, 1e30, jnp.float32), m))
     row = np.asarray(mt.resolve_hits_mxu(orig, dirs, jnp.asarray(t),
                                          jnp.asarray(col), m))
+    if m.txy_t is None:
+        # slim tables drop closest_hit's exact-t debug recovery; the
+        # resolve row carries the exact f32 winner t (ATTR_HITT) — use it
+        # so the t-parity gates below compare exact values, not the
+        # kernel's packed-winner t (mantissa bits spliced for the column)
+        t = np.where(tri >= 0, row[mt.ATTR_HITT], t)
     return t, tri, occ, row, np.asarray(col)
 
 

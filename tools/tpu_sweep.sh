@@ -46,8 +46,11 @@ run FLT_ROL_V=4 FLT_PACK=4 FLT_ROL4_COARSE=1
 # 5. hardware accuracy gates (verdict items 2+4)
 say "golden --check (1e-2 RMSE gate on TPU)"
 timeout 2400 python tools/make_goldens.py --check 2>&1 | tail -8 | tee -a $LOG
-say "sc parity on hardware (sampled-ray parity, 320k)"
+say "sc parity on hardware (flat vs forced supercluster, egyptcat)"
 timeout 1200 python tools/check_sc_parity.py 2>&1 | tail -5 | tee -a $LOG
+say "sc parity on hardware (sampled-ray parity vs bitstack, 320k)"
+timeout 1800 python tools/check_sc_parity.py \
+    data/bigscene/big_egyptcat_5x4.sc.json --big 2>&1 | tail -6 | tee -a $LOG
 
 # 6. exact-spp tail vs free-running (verdict item 7): done bar ratio <= 1.3
 say "exact-spp tail benchmark (egyptcat 1080p, 64 spp)"
