@@ -309,12 +309,20 @@ def _run_big(Renderer, Settings):
     HBM-streamed resolve at 1080p."""
     s = Settings()
     s.use_env_map = True
-    s.camera.pos = (0.0, 14.0, 40.0)
-    s.camera.dir = (0.0, -0.35, -1.0)
-    r = Renderer(1920, 1080, settings=s, data_dir="data")
+    s.use_area_light = True
     # BENCH_BIG_GRID=6x5 selects the ~481k-tri (country_kitchen scale)
     # composition; default 5x4 = 320k (conference scale)
     grid = os.environ.get("BENCH_BIG_GRID", "5x4")
+    # egyptcat is a SEALED room (statue + shell); exterior viewpoints see
+    # only box lids. Use the single-cat benchmark state camera/area-light
+    # translated into one instance interior — conference, the reference
+    # benchmark scene this stands in for, is an interior too
+    # (tracer.cpp:419-424). Instance translations: make_bigscene.py grid.
+    tx, tz = (0.0, -11.5) if grid == "5x4" else (11.5, 0.0)
+    s.camera.pos = (tx + 0.0, 1.0, tz + 3.5)
+    s.camera.dir = (0.0, 0.0, -1.0)
+    s.area_light.pos = (tx + 1.0, 1.0, tz + 0.0)
+    r = Renderer(1920, 1080, settings=s, data_dir="data")
     r.load_scene(f"data/bigscene/big_egyptcat_{grid}.sc.json", env_map=ENV,
                  use_saved_state=False)
     num_tasks = int(os.environ.get("BENCH_TASKS", str(1 << 20)))
