@@ -318,10 +318,20 @@ def _run_big(Renderer, Settings):
     # translated into one instance interior — conference, the reference
     # benchmark scene this stands in for, is an interior too
     # (tracer.cpp:419-424). Instance translations: make_bigscene.py grid.
-    tx, tz = (0.0, -11.5) if grid == "5x4" else (11.5, 0.0)
-    s.camera.pos = (tx + 0.0, 1.0, tz + 3.5)
-    s.camera.dir = (0.0, 0.0, -1.0)
-    s.area_light.pos = (tx + 1.0, 1.0, tz + 0.0)
+    # BENCH_BIG_GRID=5x4_open selects the shell-stripped field of statues
+    # (skipMaterials) with an EXTERIOR camera: every instance visible at
+    # once, per-tile candidates span the whole supercluster table.
+    if grid.endswith("_open"):
+        s.use_area_light = False
+        import math
+        s.camera.pos = (30.0, 10.0, 62.0)
+        nrm = math.sqrt(40.0**2 + 10.0**2 + 72.0**2)
+        s.camera.dir = (-40.0 / nrm, -10.0 / nrm, -72.0 / nrm)
+    else:
+        tx, tz = (0.0, -11.5) if grid == "5x4" else (11.5, 0.0)
+        s.camera.pos = (tx + 0.0, 1.0, tz + 3.5)
+        s.camera.dir = (0.0, 0.0, -1.0)
+        s.area_light.pos = (tx + 1.0, 1.0, tz + 0.0)
     r = Renderer(1920, 1080, settings=s, data_dir="data")
     r.load_scene(f"data/bigscene/big_egyptcat_{grid}.sc.json", env_map=ENV,
                  use_saved_state=False)

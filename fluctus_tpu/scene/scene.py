@@ -150,11 +150,18 @@ class Scene:
         with the entry's transform re-applied (ModelTransform is uniform
         scale + translation, so the first instance's chunks are exactly
         retransformable) and the materials/textures shared — a 20-instance
-        composition costs one parse instead of twenty."""
+        composition costs one parse instead of twenty.
+
+        Entries may carry ``"skipMaterials": [name, ...]`` — triangles
+        whose material name is listed are dropped for that instance (an
+        extension over the reference format: lets compositions strip e.g.
+        per-model room shells; tools/make_bigscene.py --open). Instancing
+        reuse requires an identical skip set; a differing set re-parses
+        the model."""
         folder = os.path.dirname(filename)
         with open(filename) as f:
             scene_list = json.load(f)
-        seen = {}   # path -> (chunk range, first instance's transform)
+        seen = {}   # (path, skip set) -> (chunk range, first transform)
         for info in scene_list:
             tr = ModelTransform()
             if "scale" in info:
@@ -163,8 +170,9 @@ class Scene:
                 tr.translation = tuple(info["translation"])
             sub = info["file"]
             path = sub if os.path.isabs(sub) else os.path.join(folder, sub)
-            if path in seen:
-                (c0, c1), tr0 = seen[path]
+            skip = frozenset(info.get("skipMaterials", []))
+            if (path, skip) in seen:
+                (c0, c1), tr0 = seen[(path, skip)]
                 off0 = np.asarray(tr0.translation, np.float32)
                 off = np.asarray(tr.translation, np.float32)
                 s = np.float32(tr.scale / tr0.scale)
@@ -173,7 +181,15 @@ class Scene:
             else:
                 c0 = len(self._tri_chunks)
                 self.load_model(path, tr)
-                seen[path] = ((c0, len(self._tri_chunks)), tr)
+                c1 = len(self._tri_chunks)
+                if skip:
+                    names = np.array([m.name or "" for m in self.materials])
+                    for k in range(c0, c1):
+                        p0, n0, t0, m0 = self._tri_chunks[k]
+                        keep = ~np.isin(names[m0], list(skip))
+                        self._tri_chunks[k] = (p0[keep], n0[keep],
+                                               t0[keep], m0[keep])
+                seen[(path, skip)] = ((c0, c1), tr)
 
     # -- device upload ------------------------------------------------------
     def device_materials(self):

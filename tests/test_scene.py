@@ -77,6 +77,33 @@ def test_scene_file(tmp_path, assets):
     np.testing.assert_allclose(p1, p2 * 2.0 + np.array([1.0, 0, 0]), atol=1e-4)
 
 
+def test_scene_file_skip_materials(tmp_path, assets):
+    """skipMaterials .sc.json extension (tools/make_bigscene.py --open):
+    listed materials' triangles are dropped per instance, and instancing
+    reuse keys on the skip set."""
+    cat = os.path.join(assets, "egyptcat/egyptcat.obj")
+    sc = [
+        {"file": cat, "translation": [0.0, 0.0, 0.0],
+         "skipMaterials": ["mag_ground", "mat_light"]},
+        {"file": cat, "translation": [23.0, 0.0, 0.0],
+         "skipMaterials": ["mag_ground", "mat_light"]},   # instanced reuse
+    ]
+    path = tmp_path / "open.sc.json"
+    path.write_text(json.dumps(sc))
+    s = Scene()
+    s.load_model(str(path))
+    p, n, uv, mid = s.triangle_arrays()
+    # full model = 16,040 tris (16,000 statue + 12 shell + 28 light)
+    assert len(p) == 2 * 16000
+    names = {s.materials[i].name for i in set(mid.tolist())}
+    assert names == {"egyptcat"}
+    # no shell: nothing above the statue's 2.73-unit height
+    assert float(p[:, :, 1].max()) < 3.0
+    # the second instance is the first, translated
+    np.testing.assert_allclose(p[16000:] - np.array([23.0, 0, 0]),
+                               p[:16000], atol=1e-4)
+
+
 def test_device_upload(assets):
     s = Scene()
     s.load_model(os.path.join(assets, "egyptcat/egyptcat.obj"))

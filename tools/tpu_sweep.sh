@@ -33,6 +33,10 @@ say "big scene 320k + FLT_SC_SUB=1 (in-cluster sub-block culling)"
 timeout 2400 env BENCH_BIG=1 BENCH_SEGMENTS=8 FLT_SC_SUB=1 python bench.py 2>/dev/null | tee -a $LOG
 say "big scene 481k (country_kitchen scale)"
 timeout 3000 env BENCH_BIG=1 BENCH_SEGMENTS=8 BENCH_BIG_GRID=6x5 python bench.py 2>/dev/null | tee -a $LOG
+say "big scene 320k OPEN FIELD (exterior camera, candidates span all superclusters)"
+timeout 2400 env BENCH_BIG=1 BENCH_SEGMENTS=8 BENCH_BIG_GRID=5x4_open python bench.py 2>/dev/null | tee -a $LOG
+say "big scene 320k OPEN FIELD + FLT_SC_SUB=1"
+timeout 2400 env BENCH_BIG=1 BENCH_SEGMENTS=8 BENCH_BIG_GRID=5x4_open FLT_SC_SUB=1 python bench.py 2>/dev/null | tee -a $LOG
 
 # 4. isolated trace kernel: baseline vs rol4 configs
 run FLT_ROL_V=1
