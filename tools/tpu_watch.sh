@@ -1,10 +1,18 @@
 #!/bin/bash
 # Probe the TPU in fresh bounded processes until the axon tunnel answers,
-# then run the sweep queue. Safe to leave running in tmux — never touches
-# a wedged plugin from a long-lived process.
+# then run the (resumable) sweep queue. Keeps going until EVERY sweep
+# section is done — a mid-sweep re-wedge just sends us back to probing.
+# Safe to leave running in tmux — never touches a wedged plugin from a
+# long-lived process.
 cd /root/repo
 WLOG=/tmp/tpu_watch.log
+DONE=data/sweep_logs/sections_done
+TOTAL=25   # sections in tools/tpu_sweep.sh
 while true; do
+  if [ -f "$DONE" ] && [ "$(wc -l < $DONE)" -ge "$TOTAL" ]; then
+    echo "$(date) all $TOTAL sweep sections done — watcher exiting" | tee -a $WLOG
+    break
+  fi
   if timeout 180 python - >>$WLOG 2>&1 <<'EOF'
 import jax
 d = jax.devices()
@@ -15,11 +23,13 @@ assert float(x[0, 0]) == 128.0
 print("TPU OK:", d)
 EOF
   then
-    echo "$(date) TPU alive — starting sweep" | tee -a $WLOG
+    echo "$(date) TPU alive — starting sweep ($( [ -f $DONE ] && wc -l < $DONE || echo 0 )/$TOTAL sections done)" | tee -a $WLOG
     bash tools/tpu_sweep.sh
-    echo "$(date) sweep finished" | tee -a $WLOG
-    break
+    rc=$?
+    echo "$(date) sweep pass finished rc=$rc" | tee -a $WLOG
+    [ $rc -eq 99 ] && sleep 300   # re-wedged mid-sweep: back to probing
+  else
+    echo "$(date) TPU still wedged; sleeping 300s" >> $WLOG
+    sleep 300
   fi
-  echo "$(date) TPU still wedged; sleeping 300s" >> $WLOG
-  sleep 300
 done
