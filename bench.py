@@ -142,13 +142,19 @@ def _json_line(stdout: str):
 
 def _save_last_good(obj):
     try:
+        # Only default-flag runs may become the wedge-fallback headline:
+        # an A/B arm with FLT_/BENCH_ overrides (e.g. the deliberately
+        # degraded FLT_KEY=none sweep section) must never overwrite the
+        # record the driver reports when the TPU is down (advisor r4).
+        knobs = {k: v for k, v in os.environ.items()
+                 if k.startswith(("FLT_", "BENCH_"))
+                 and k not in ("BENCH_WORKER", "BENCH_LAST_GOOD")}
+        if knobs:
+            print(f"bench: not persisting last-good (non-default knobs: "
+                  f"{sorted(knobs)})", file=sys.stderr)
+            return
         rec = dict(obj)
         rec["recorded_unix"] = int(time.time())
-        # provenance: a stale value must be traceable to its exact config
-        knobs = {k: v for k, v in os.environ.items()
-                 if k.startswith(("FLT_", "BENCH_")) and k != "BENCH_WORKER"}
-        if knobs:
-            rec["env"] = knobs
         os.makedirs(os.path.dirname(LAST_GOOD_PATH), exist_ok=True)
         with open(LAST_GOOD_PATH, "w") as f:
             json.dump(rec, f, indent=1)

@@ -13,15 +13,24 @@ while true; do
     echo "$(date) all $TOTAL sweep sections done — watcher exiting" | tee -a $WLOG
     break
   fi
-  if timeout 180 python - >>$WLOG 2>&1 <<'EOF'
+  # Two-stage probe (PERF.md round-4 "half-warm" finding): devices() is a
+  # fast liveness check, but the FIRST compiled program after a wedge can
+  # take ~415 s of one-time warm-up — a short combined probe kills that
+  # warm-up and misreads half-warm as wedged forever. Stage 2 gets >=600 s.
+  if timeout 180 python - >>$WLOG 2>&1 <<'EOF' \
+     && timeout 700 python - >>$WLOG 2>&1 <<'EOF2'
 import jax
 d = jax.devices()
 assert d and d[0].platform != "cpu", d
+print("TPU devices OK:", d)
+EOF
+import jax, time
+t0 = time.time()
 import jax.numpy as jnp
 x = jnp.ones((8, 128)) @ jnp.ones((128, 8))
 assert float(x[0, 0]) == 128.0
-print("TPU OK:", d)
-EOF
+print(f"TPU matmul OK ({time.time()-t0:.0f}s warm-up)")
+EOF2
   then
     echo "$(date) TPU alive — starting sweep ($( [ -f $DONE ] && wc -l < $DONE || echo 0 )/$TOTAL sections done)" | tee -a $WLOG
     bash tools/tpu_sweep.sh
