@@ -2205,6 +2205,84 @@ def _sorted_trace(o4, d4, tmax_col, scene, any_hit, ray_tile, interpret):
     return t_out.reshape(b, 1), i_out.reshape(b, 1)
 
 
+def _sorted_trace_pair(eo4, ed4, so4, sd4, sh_tmax_col, scene, ray_tile,
+                       interpret):
+    """Shared-order extension+shadow trace (``FLT_PAIR_SORT``).
+
+    A segment's extension ray and shadow ray start at the SAME path
+    vertex (the previous hit point, epsilon-offset), so one coherence
+    permutation serves both ray sets: ONE 15-operand ``lax.sort`` keyed
+    on the extension key carries both ray records, and ONE 3-operand
+    unsort restores both results (the shadow verdict rides bit 30 of the
+    winner column). That is 18 offload-staged sort columns in 2 sort
+    programs, vs 24 columns in 4 programs on the independent path —
+    the round-5 profile attributes ~200 ms/seg of async S(1) traffic to
+    sort staging/merges against 54 ms of actual trace kernels.
+
+    Trade-offs vs the independent path (measure e2e): the shadow rays
+    lose their own direction-octant ordering (they ride the extension
+    order; origin coherence is shared, direction coherence is not), and
+    non-pending shadow lanes (tmax 0) no longer sort to dead tail tiles.
+
+    Returns (t_ext[b,1], col_ext[b,1], occluded[b] bool) in original
+    lane order. Misses have t = F32_MAX, col = -1.
+    """
+    b = eo4.shape[0]
+    boxes = scene.cluster_box
+    lo = jnp.min(boxes[:, 0:3], axis=0)
+    hi = jnp.max(boxes[:, 3:6], axis=0)
+    sh_tm = _exit_clamp(so4, sd4, sh_tmax_col, lo, hi)
+    kmaj, kmin = _sort_key(eo4, ed4, lo, hi)
+    skey = (kmaj << 12) | (kmin >> 9)
+    etm = _exit_clamp(eo4, ed4, jnp.full((b, 1), F32_MAX, jnp.float32),
+                      lo, hi)
+    skey = jnp.where(etm[:, 0] <= 0.0, jnp.int32(0x7FFFFFFF), skey)
+    idx = jnp.arange(b, dtype=jnp.int32)
+    srt = jax.lax.sort(
+        (skey, idx, eo4[:, 0], eo4[:, 1], eo4[:, 2],
+         ed4[:, 0], ed4[:, 1], ed4[:, 2],
+         so4[:, 0], so4[:, 1], so4[:, 2],
+         sd4[:, 0], sd4[:, 1], sd4[:, 2], sh_tm[:, 0]),
+        num_keys=1)
+    sidx = srt[1]
+    ones = jnp.ones(b, jnp.float32)
+    zeros = jnp.zeros(b, jnp.float32)
+    eo4s = jnp.stack([srt[2], srt[3], srt[4], ones], axis=1)
+    ed4s = jnp.stack([srt[5], srt[6], srt[7], zeros], axis=1)
+    so4s = jnp.stack([srt[8], srt[9], srt[10], ones], axis=1)
+    sd4s = jnp.stack([srt[11], srt[12], srt[13], zeros], axis=1)
+    stm = srt[14]
+    etm_s = _exit_clamp(eo4s, ed4s, jnp.full((b, 1), F32_MAX, jnp.float32),
+                        lo, hi)
+    t_e, i_e = _dispatch_trace(eo4s, ed4s, etm_s, scene, False,
+                               ray_tile, interpret)
+    _, i_s = _dispatch_trace(so4s, sd4s, stm.reshape(b, 1), scene, True,
+                             ray_tile, interpret)
+    # winner col fits [-1, 2^30-2) (padded tri count << 2^30); +1 makes it
+    # non-negative so the occlusion verdict can ride bit 30 of one column
+    packed = (i_e[:, 0] + 1) | jnp.where(i_s[:, 0] >= 0,
+                                         jnp.int32(1 << 30), jnp.int32(0))
+    _, t_out, p_out = jax.lax.sort((sidx, t_e[:, 0], packed), num_keys=1)
+    occ = (p_out >> 30) > 0
+    col = (p_out & ((1 << 30) - 1)) - 1
+    t_out = jnp.where(col >= 0, t_out, F32_MAX)
+    return t_out.reshape(b, 1), col.reshape(b, 1), occ
+
+
+def trace_pair_mxu(eorig: Vec3, edir: Vec3, sorig: Vec3, sdir: Vec3,
+                   sh_tmax, scene: MXUScene, ray_tile: int = None,
+                   interpret: bool = False):
+    """Extension closest-hit + shadow occlusion under ONE shared sort
+    (see _sorted_trace_pair). Returns (t[n], col[n], occluded[n])."""
+    ray_tile = ray_tile or RAY_TILE
+    n = eorig.x.shape[0]
+    eo4, ed4, _ = _ray_inputs(eorig, edir, scene, None, ray_tile)
+    so4, sd4, stm = _ray_inputs(sorig, sdir, scene, sh_tmax, ray_tile)
+    t, col, occ = _sorted_trace_pair(eo4, ed4, so4, sd4, stm, scene,
+                                     ray_tile, interpret)
+    return t[:n, 0], col[:n, 0], occ[:n]
+
+
 def closest_hit_mxu(orig: Vec3, d: Vec3, scene: MXUScene, t_max=None,
                     ray_tile: int = 512, interpret: bool = False):
     """Returns (t, tri_idx, u, v) like traverse.closest_hit."""

@@ -49,7 +49,8 @@ from ..vec import Vec3, dot, is_zero, length, luminance, where as vwhere
 from .camera import generate_camera_rays
 from .integrator_mk import FeatureFilm, Film
 from .trace import (DeviceScene, tangent_space_normal, trace_extension,
-                    trace_extension_raw, trace_shadow)
+                    trace_extension_raw, trace_pair, trace_shadow)
+from .. import flags
 
 
 class WfPool(NamedTuple):
@@ -279,13 +280,22 @@ def wf_trace_phase(scene: DeviceScene, pool: WfPool, params: RenderParams,
     cfg = config
     light = params.area_light if cfg.use_area_light else None
     raw = None
-    if scene.mxu is not None and (scene.mxu.attrs is not None
-                                  or scene.mxu.attr_b16 is not None
-                                  or scene.mxu.b16t is not None):
-        raw = trace_extension_raw(pool.orig, pool.dir, scene)
+    has_raw = scene.mxu is not None and (scene.mxu.attrs is not None
+                                         or scene.mxu.attr_b16 is not None
+                                         or scene.mxu.b16t is not None)
     # non-pending lanes get tmax=0: the coherence sort pushes them to the
     # tail tiles, whose candidate lists are empty -> near-free occupancy cut
     shadow_tmax = jnp.where(pool.shadow_pending, pool.shadow_len, 0.0)
+    from ..accel import mxu_trace as mt
+    if (has_raw and mt.SORT_RAYS and cfg.backend == "mxu"
+            and flags.env_bool("PAIR_SORT", False)
+            and flags.env("KEY", "oct") == "oct"):
+        # shared-order pair trace: one sort + one unsort for both ray sets
+        return trace_pair(pool.orig, pool.dir, pool.shadow_orig,
+                          pool.shadow_dir, shadow_tmax, scene, light,
+                          jnp.asarray(cfg.use_area_light))
+    if has_raw:
+        raw = trace_extension_raw(pool.orig, pool.dir, scene)
     occluded = trace_shadow(pool.shadow_orig, pool.shadow_dir, shadow_tmax,
                             scene, light, jnp.asarray(cfg.use_area_light))
     return raw, occluded

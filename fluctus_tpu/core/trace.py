@@ -201,6 +201,24 @@ def trace_extension(orig: Vec3, d: Vec3, scene: DeviceScene,
     return hit
 
 
+def trace_pair(orig: Vec3, d: Vec3, sorig: Vec3, sdir: Vec3, max_len,
+               scene: DeviceScene, area_light: Optional[AreaLight],
+               check_area_light):
+    """Extension closest-hit + shadow occlusion under ONE shared
+    coherence sort (FLT_PAIR_SORT; see mxu_trace._sorted_trace_pair).
+    Returns (raw=(t, col), occluded) matching trace_extension_raw +
+    trace_shadow semantics, incl. the area-light body occlusion OR
+    (wf_shadowrays.cl:27-33)."""
+    from ..accel import mxu_trace as mt
+    t, col, occ = mt.trace_pair_mxu(orig, d, sorig, sdir, max_len,
+                                    scene.mxu,
+                                    interpret=_interpret_pallas())
+    if area_light is not None:
+        l_hit, _ = intersect_area_light(sorig, sdir, area_light, max_len)
+        occ |= l_hit & check_area_light
+    return (t, col), occ
+
+
 def trace_shadow(orig: Vec3, d: Vec3, max_len, scene: DeviceScene,
                  area_light: Optional[AreaLight], check_area_light):
     """Occlusion query incl. the area light body (wf_shadowrays.cl:27-33)."""

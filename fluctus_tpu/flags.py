@@ -34,6 +34,9 @@ Knob inventory (defaults in parentheses):
     KEY ("oct")          ext-ray sort key: oct/bal/dir/none [call]
     KEY_SHADOW (=KEY)    shadow-ray override (occupancy cut needs a sort)
                          [call]
+    PAIR_SORT ("0")      ext+shadow share ONE sort/unsort pair (18 sorted
+                         columns in 2 programs vs 24 in 4; shadow rides
+                         the ext order — sweep pending) [call]
     TILE_ORDER ("2")     per-tile candidate builder version [call]
     DIST_LO ("1")        box-box distance lower bound in tile culling
                          (r2: 2x on bounce tiles) [call]

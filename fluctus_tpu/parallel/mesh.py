@@ -38,18 +38,14 @@ def replicate_scene(scene, mesh: Mesh):
     return jax.device_put(scene, rep)
 
 
-def render_sharded(scene, params: RenderParams, film: Film, seed,
-                   config: RenderConfig, mesh: Mesh, axis: str = "px"):
-    """One render_sample step with the pixel pool sharded across the mesh.
-
-    film/seed must be sharded along their leading (pixel) dim; scene/params
-    replicated. Returns (film, seed, stats) with stats fully reduced
-    (XLA turns the global sums into psums over ICI).
-    """
+def sharded_render_fn(film: Film, mesh: Mesh, axis: str = "px"):
+    """The jitted GSPMD render_sample step used by render_sharded.
+    Exposed so tests can .lower().compile() it and assert XLA inserted
+    no film-sized collectives (the pixel axis is embarrassingly parallel;
+    only the scalar stats reduction may psum — see test_mk_sharded)."""
     shard = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
-
-    fn = jax.jit(
+    return jax.jit(
         render_sample,
         static_argnames="config",
         in_shardings=(rep, rep,
@@ -58,7 +54,18 @@ def render_sharded(scene, params: RenderParams, film: Film, seed,
         out_shardings=(jax.tree_util.tree_map(lambda _: shard, film),
                        shard, rep),
     )
-    return fn(scene, params, film, seed, config)
+
+
+def render_sharded(scene, params: RenderParams, film: Film, seed,
+                   config: RenderConfig, mesh: Mesh, axis: str = "px"):
+    """One render_sample step with the pixel pool sharded across the mesh.
+
+    film/seed must be sharded along their leading (pixel) dim; scene/params
+    replicated. Returns (film, seed, stats) with stats fully reduced
+    (XLA turns the global sums into psums over ICI).
+    """
+    return sharded_render_fn(film, mesh, axis)(scene, params, film, seed,
+                                               config)
 
 
 def shard_film(film: Film, seed, mesh: Mesh, axis: str = "px"):

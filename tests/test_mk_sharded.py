@@ -82,6 +82,40 @@ def test_mk_sharded_two_steps_accumulate():
     np.testing.assert_array_equal(np.asarray(film_s.color.x),
                                   np.asarray(film_u.color.x))
 
+def test_mk_sharded_inserts_no_film_collectives():
+    """The mk path trusts GSPMD not to insert collectives on the pixel
+    axis (parallel/mesh.py render_sharded). Scan the compiled HLO: no
+    all-gather / collective-permute at all, and every all-reduce operates
+    on scalars (the stats psum) — this test fails if a regression makes
+    the film round-trip the ICI every sample (VERDICT r4 weak #5)."""
+    import re
+
+    from fluctus_tpu.parallel.mesh import sharded_render_fn
+
+    r = _setup()
+    scene, params, config = r.device_scene, r.params, r.config
+    n = config.num_pixels
+    mesh = make_mesh(D)
+    scene_r = replicate_scene(scene, mesh)
+    film_s, seed_s = shard_film(Film.zeros(n),
+                                jnp.arange(n, dtype=jnp.uint32), mesh)
+    fn = sharded_render_fn(film_s, mesh)
+    hlo = fn.lower(scene_r, params, film_s, seed_s,
+                   config).compile().as_text()
+    assert "all-gather" not in hlo, "film/pool all-gather in the hot loop"
+    assert "collective-permute" not in hlo
+    assert "all-to-all" not in hlo
+    # all-reduce is allowed ONLY for the scalar stats psum: HLO lines read
+    # "%name = SHAPE all-reduce(...)" — every such SHAPE must be scalar
+    # (or a tuple of scalars)
+    found = re.findall(r"=\s*([^=\n]*?)\s*all-reduce(?:-start)?\(", hlo)
+    assert found, "expected a stats psum all-reduce"
+    for shapes in found:
+        assert re.fullmatch(
+            r"\(?((pred|f32|s32|u32|s64|u64)\[\](\{[^}]*\})?,?\s*)+\)?",
+            shapes), f"non-scalar all-reduce: {shapes}"
+
+
 def test_host_mesh_layout():
     """Multi-host mesh ordering (parallel/distributed.py): same-host
     devices contiguous, stable within host, ragged hosts rejected."""
