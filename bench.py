@@ -146,9 +146,16 @@ def _save_last_good(obj):
         # an A/B arm with FLT_/BENCH_ overrides (e.g. the deliberately
         # degraded FLT_KEY=none sweep section) must never overwrite the
         # record the driver reports when the TPU is down (advisor r4).
+        # Harness-control knobs (retry budget, wedge simulation, record
+        # path) do not alter the measurement and are exempt; BENCH_FAKE
+        # is exempt only when the record path is redirected (tests).
+        exempt = {"BENCH_WORKER", "BENCH_LAST_GOOD", "BENCH_SIM_WEDGE",
+                  "BENCH_SIM_WEDGE_NOW", "BENCH_INIT_TIMEOUT",
+                  "BENCH_ATTEMPT_INIT_TIMEOUT", "BENCH_RETRY_BACKOFF"}
+        if os.environ.get("BENCH_LAST_GOOD"):
+            exempt.add("BENCH_FAKE")
         knobs = {k: v for k, v in os.environ.items()
-                 if k.startswith(("FLT_", "BENCH_"))
-                 and k not in ("BENCH_WORKER", "BENCH_LAST_GOOD")}
+                 if k.startswith(("FLT_", "BENCH_")) and k not in exempt}
         if knobs:
             print(f"bench: not persisting last-good (non-default knobs: "
                   f"{sorted(knobs)})", file=sys.stderr)
@@ -305,7 +312,61 @@ def _run(jax, Renderer, Settings):
             out["big_scene_320k"] = _run_big(Renderer, Settings)
         except Exception as e:       # never lose the headline number
             out["big_scene_320k"] = {"error": repr(e)[:200]}
+    if os.environ.get("BENCH_ZOO", "1") == "1":
+        try:
+            out["full_zoo_500k"] = _run_zoo(Renderer, Settings)
+        except Exception as e:
+            out["full_zoo_500k"] = {"error": repr(e)[:200]}
     return out
+
+
+def _run_zoo(Renderer, Settings):
+    """Third entry at country_kitchen scale (milestone 5, ~500k tris,
+    BASELINE.md config 5): the full material-zoo stress composition —
+    622k tris, all 8 BXDF types, 4 textures incl. a normal map, area
+    light + env map, exterior camera over the open field
+    (tools/make_fullzoo.py; generated on demand)."""
+    scene_path = "data/bigscene/full_zoo.sc.json"
+    if not os.path.exists(scene_path):
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        from make_fullzoo import make_fullzoo
+        make_fullzoo(scene_path)
+    import math
+    s = Settings()
+    s.use_env_map = True
+    s.use_area_light = True
+    s.max_path_depth = 8
+    s.camera.pos = (35.0, 14.0, 80.0)
+    nrm = math.sqrt(35.0**2 + 13.0**2 + 80.0**2)
+    s.camera.dir = (-35.0 / nrm, -13.0 / nrm, -80.0 / nrm)
+    # sun-panel area light high over the field, facing down
+    s.area_light.pos = (0.0, 40.0, 20.0)
+    s.area_light.N = (0.0, -1.0, 0.0)
+    s.area_light.right = (1.0, 0.0, 0.0)
+    s.area_light.up = (0.0, 0.0, 1.0)
+    s.area_light.E = (120.0, 120.0, 120.0)
+    s.area_light.size = (4.0, 4.0)
+    r = Renderer(1920, 1080, settings=s, data_dir="data")
+    r.load_scene(scene_path, env_map=ENV, use_saved_state=False)
+    num_tasks = int(os.environ.get("BENCH_TASKS", str(1 << 20)))
+    segments = int(os.environ.get("BENCH_ZOO_SEGMENTS", "24"))
+    r.init_wavefront(num_tasks)
+    r.render_wavefront(2)          # warmup/compile
+    r.init_wavefront(num_tasks)
+    t0 = time.time()
+    r.render_wavefront(segments)
+    elapsed = time.time() - t0
+    st = r.wavefront_stats()
+    rays = (int(st.primary_rays) + int(st.extension_rays)
+            + int(st.shadow_rays))
+    mrays = rays / (1e6 * elapsed)
+    n_tris = r.scene.triangle_arrays()[0].shape[0]
+    return {"metric": f"Mrays/s/chip, full material zoo "
+                      f"({n_tris // 1000}k tris, 8 BXDF types) 1080p",
+            "value": round(mrays, 2), "unit": "Mrays/s",
+            "elapsed_s": round(elapsed, 3), "rays": rays,
+            "segments": segments}
 
 
 def _run_big(Renderer, Settings):
@@ -350,12 +411,15 @@ def _run_big(Renderer, Settings):
     r.render_wavefront(segments)
     elapsed = time.time() - t0
     st = r.wavefront_stats()
-    mrays = (int(st.primary_rays) + int(st.extension_rays)
-             + int(st.shadow_rays)) / (1e6 * elapsed)
+    rays = (int(st.primary_rays) + int(st.extension_rays)
+            + int(st.shadow_rays))
+    mrays = rays / (1e6 * elapsed)
     n_tris = r.scene.triangle_arrays()[0].shape[0]
     return {"metric": f"Mrays/s/chip, {grid} egyptcat grid "
                       f"({n_tris // 1000}k tris) 1080p",
-            "value": round(mrays, 2), "unit": "Mrays/s"}
+            "value": round(mrays, 2), "unit": "Mrays/s",
+            "elapsed_s": round(elapsed, 3), "rays": rays,
+            "segments": segments}
 
 
 if __name__ == "__main__":

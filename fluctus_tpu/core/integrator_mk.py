@@ -168,6 +168,14 @@ def render_sample(scene: DeviceScene, params: RenderParams, film: Film,
         nrm = vwhere(backface, -nrm, nrm)
         nee_orig = hit.P - s["dir"] * 1e-3
 
+        # ---- implicit triangle emission (improvement: the reference's
+        # wf_mat_emissive.cl:44-66 never adds Ke to Ei, so emissive meshes
+        # render black there; emissive surfaces are never NEE-sampled, so
+        # weight-1 implicit accumulation at every path length is unbiased)
+        em = alive & (sp.type == bx.BXDF_EMISSIVE)
+        Ei = vwhere(em, Ei + T * sp.Ke, Ei)
+        alive = alive & ~em          # emissive terminates the path (pdf=0)
+
         singular = (sp.type & bx.BXDF_SINGULAR_MASK) != 0
         shadow_count = s["shadow_count"]
 

@@ -529,6 +529,16 @@ def wf_logic_phase(scene: DeviceScene, params: RenderParams, state: WfState,
     else:
         from ..bsdf import apply_textures
         sp = apply_textures(sp, hit.uv_u, hit.uv_v, scene.atlas)
+
+    # ---- implicit triangle emission (improvement: the reference's
+    # wf_mat_emissive.cl:44-66 never adds Ke to Ei, so emissive meshes
+    # render black there; weight-1 implicit accumulation is unbiased —
+    # emissive surfaces are never NEE-sampled as lights). The path then
+    # continues with bxdf_sample's pdf=0 and splats next segment via the
+    # standard last_pdf_w==0 termination.
+    em = alive & (hit.i >= 0) & (sp.type == bx.BXDF_EMISSIVE)
+    Ei = vwhere(em, Ei + T * sp.Ke, Ei)
+
     nrm = tangent_space_normal(hit, scene.tris, sp.map_N, scene.atlas,
                                meta=sp.n_meta)
     backface = dot(nrm, pool.dir) > 0.0

@@ -419,6 +419,7 @@ class Renderer:
             if progress and sample % 10 == 0:
                 print(f"\rRendered: {sample}/{spp}", end="", flush=True)
         jax.block_until_ready(self.film.color.x)
+        self._film_src = "mk"
         if progress:
             print(f"\rRendered: {spp}/{spp}")
         return self.film
@@ -472,6 +473,7 @@ class Renderer:
         """Advance the wavefront `segments` steps (Tracer::update loop body,
         tracer.cpp:269-283). Dispatch is asynchronous: the host runs ahead
         and only synchronizes at the end (the reference's finishQueue)."""
+        self._film_src = "wf"
         if getattr(self, "_wf_exact_mode", False):
             # a prior render_single_wavefront left the exact-spp state
             # (max_spp cap compiled in) active — continuing free-running
@@ -516,7 +518,11 @@ class Renderer:
             self._wf_counters.append(cnt)
         if sync:
             self._flush_splats()
-            jax.block_until_ready(self._wf_state.film.color.x)
+            # block_until_ready is unreliable on the remote-attached PJRT
+            # (returns before execution finishes — bench r5 measured
+            # impossible 288/3320 Mrays/s on first runs of new scenes);
+            # a scalar VALUE transfer is the only reliable fence
+            _ = float(self._wf_state.film.color.x[0])
         return self._wf_state
 
     def _flush_splats(self):
@@ -659,6 +665,7 @@ class Renderer:
         unpad = lambda tree: jax.tree_util.tree_map(
             lambda a: unpad_pixels(a, cfg), tree)
         self.film = unpad(state.film)
+        self._film_src = "mk"       # self.film is current (see current_film)
         self._wf_exact_state = state
         self._wf_exact_target = target
         self._wf_state = state
@@ -673,9 +680,20 @@ class Renderer:
         return self.film
 
     # -- output --------------------------------------------------------------
+    def current_film(self) -> Film:
+        """The live accumulation: the wavefront state's film while the
+        LAST render call was a free-running render_wavefront, else the
+        self.film both render_single paths maintain — so image accessors
+        never silently read a stale/zero film after either mode."""
+        if getattr(self, "_film_src", "mk") == "wf" \
+                and getattr(self, "_wf_state", None) is not None:
+            return self.wavefront_film()
+        return self.film
+
     def ldr_image(self) -> np.ndarray:
         """Postprocessed [H, W, 3] float in [0,1] (process kernel)."""
-        rgb = postprocess(self.film.color, self.film.weight,
+        film = self.current_film()
+        rgb = postprocess(film.color, film.weight,
                           self.params.pp.exposure, self.params.pp.tm_operator)
         arr = np.stack([np.asarray(rgb.x), np.asarray(rgb.y),
                         np.asarray(rgb.z)], axis=-1)
@@ -684,10 +702,11 @@ class Renderer:
         return np.clip(arr.reshape(self.height, self.width, 3)[::-1], 0.0, 1.0)
 
     def hdr_image(self) -> np.ndarray:
-        w = np.maximum(np.asarray(self.film.weight), 1e-30)
-        arr = np.stack([np.asarray(self.film.color.x) / w,
-                        np.asarray(self.film.color.y) / w,
-                        np.asarray(self.film.color.z) / w], axis=-1)
+        film = self.current_film()
+        w = np.maximum(np.asarray(film.weight), 1e-30)
+        arr = np.stack([np.asarray(film.color.x) / w,
+                        np.asarray(film.color.y) / w,
+                        np.asarray(film.color.z) / w], axis=-1)
         return arr.reshape(self.height, self.width, 3)[::-1]
 
     def save_image(self, path: str):

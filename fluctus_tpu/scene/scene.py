@@ -157,7 +157,18 @@ class Scene:
         extension over the reference format: lets compositions strip e.g.
         per-model room shells; tools/make_bigscene.py --open). Instancing
         reuse requires an identical skip set; a differing set re-parses
-        the model."""
+        the model.
+
+        Entries may also carry ``"materials": {name: {...}}`` — a
+        per-instance material override block (second extension; the
+        reference format has no per-instance materials). Overridden
+        materials are CLONED so other instances keep the original rows;
+        the geometry is still instanced. Override keys mirror MTL:
+        Kd/Ks/Ke/Kt (3-lists), Ns (phong exponent, remapped to GGX alpha
+        like the loader, scene.cpp:13-16), Ni, d, shader (explicit BXDF
+        name), map_Kd/map_Ks/map_N (texture path relative to the
+        .sc.json). Without an explicit shader the type is re-inferred
+        from the new parameters (scene.cpp:271-323 heuristics)."""
         folder = os.path.dirname(filename)
         with open(filename) as f:
             scene_list = json.load(f)
@@ -171,13 +182,19 @@ class Scene:
             sub = info["file"]
             path = sub if os.path.isabs(sub) else os.path.join(folder, sub)
             skip = frozenset(info.get("skipMaterials", []))
+            overrides = info.get("materials") or {}
             if (path, skip) in seen:
-                (c0, c1), tr0 = seen[(path, skip)]
+                # pristine (pre-override) material ids key the override
+                # lookup — instance #1 may have remapped its own chunks
+                (c0, c1), tr0, pristine = seen[(path, skip)]
+                lut = self._override_materials(pristine, overrides, folder)
                 off0 = np.asarray(tr0.translation, np.float32)
                 off = np.asarray(tr.translation, np.float32)
                 s = np.float32(tr.scale / tr0.scale)
-                for p0, n0, t0, m0 in self._tri_chunks[c0:c1]:
-                    self.append_triangles((p0 - off0) * s + off, n0, t0, m0)
+                for (p0, n0, t0, _), m0 in zip(self._tri_chunks[c0:c1],
+                                               pristine):
+                    self.append_triangles((p0 - off0) * s + off, n0, t0,
+                                          lut[m0] if lut is not None else m0)
             else:
                 c0 = len(self._tri_chunks)
                 self.load_model(path, tr)
@@ -189,7 +206,66 @@ class Scene:
                         keep = ~np.isin(names[m0], list(skip))
                         self._tri_chunks[k] = (p0[keep], n0[keep],
                                                t0[keep], m0[keep])
-                seen[(path, skip)] = ((c0, c1), tr)
+                pristine = [c[3] for c in self._tri_chunks[c0:c1]]
+                seen[(path, skip)] = ((c0, c1), tr, pristine)
+                lut = self._override_materials(pristine, overrides, folder)
+                if lut is not None:
+                    for k, m0 in zip(range(c0, c1), pristine):
+                        p0, n0, t0, _ = self._tri_chunks[k]
+                        self._tri_chunks[k] = (p0, n0, t0, lut[m0])
+
+    def _override_materials(self, pristine_ids, overrides, folder):
+        """Clone + override the material rows referenced by the given
+        chunks' pristine id arrays per a .sc.json ``materials`` block.
+        Returns an int32 lut (old id -> id to use) or None when no
+        override applies."""
+        if not overrides:
+            return None
+        from .. import bxdf_types as bx
+        from .material import infer_type, to_roughness
+        used = sorted({int(u) for m0 in pristine_ids
+                       for u in np.unique(m0)})
+        if not used:
+            return None
+        lut = np.arange(max(used) + 1, dtype=np.int32)
+        hit = False
+        for mid in used:
+            src = self.materials[mid]
+            o = overrides.get(src.name)
+            if not o:
+                continue
+            hit = True
+            m = dataclasses.replace(src)
+            for k3 in ("Kd", "Ks", "Ke", "Kt"):
+                if k3 in o:
+                    setattr(m, k3, tuple(float(v) for v in o[k3]))
+            if "Ns" in o:
+                m.Ns = float(o["Ns"])      # phong exponent; remapped below
+            if "Ni" in o:
+                m.Ni = float(o["Ni"])
+            if "d" in o:
+                m.d = float(o["d"])
+            for mk in ("map_Kd", "map_Ks", "map_N"):
+                if mk in o:
+                    setattr(m, mk,
+                            self.try_import_texture(folder, o[mk]))
+            if "shader" in o:
+                t, ok = bx.parse_shader_type(o["shader"])
+                if not ok:
+                    raise ValueError(f"unknown shader {o['shader']!r}")
+                m.type = t
+            else:
+                # re-infer from the new params; like the MTL loader,
+                # inference sees the PRE-remap phong exponent
+                # (obj_loader.finish: infer_type then to_roughness)
+                m.type = bx.BXDF_DIFFUSE
+                m.type = infer_type(m, False)
+            if "Ns" in o:
+                m.Ns = to_roughness(m.Ns)
+            m.name = f"{src.name}@{len(self.materials)}"
+            lut[mid] = len(self.materials)
+            self.add_material(m)
+        return lut if hit else None
 
     # -- device upload ------------------------------------------------------
     def device_materials(self):

@@ -30,3 +30,34 @@ def assets():
     if not os.path.isdir(path):
         pytest.skip("reference assets not available")
     return path
+
+
+# Quick tier (round-4 verdict weak #6: the full suite's CPU re-renders
+# approach 20 min single-core and start getting skipped under time
+# pressure). Modules whose tests re-render full scenes on CPU are
+# auto-marked `slow`; `pytest -m "not slow"` is the quick tier
+# (~3-4 min) and still covers every kernel/loader/format unit gate.
+SLOW_MODULES = {
+    "test_golden",             # 5 configs x CPU re-render
+    "test_milestone_parity",   # 5 configs x 2 integrators
+    "test_furnace_renderer",   # depth-8 white furnace, both integrators
+    "test_wf_sharded",         # 8-device sharded wavefront renders
+    "test_mk_sharded",         # sharded mk renders + HLO compile
+    "test_analytic_glossy",    # 2M-sample MC + quadrature + e2e render
+    "test_bench_wedge",        # forks bench.py supervisor subprocesses
+    "test_sc_bigscene",        # supercluster-scale scene builds
+    "test_state_bench",        # benchmark-protocol renders
+    "test_scenes_smoke",       # every shipped scene end-to-end
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: CPU re-render / multi-scene test "
+                   "(deselect with -m 'not slow' for the quick tier)")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)

@@ -70,29 +70,45 @@ def test_wf_vs_mk(case):
     assert np.isfinite(img_wf).all() and np.isfinite(img_mk).all()
     assert img_wf.mean() > 1e-3 and img_mk.mean() > 1e-3
     a, b = _tonemap(img_wf), _tonemap(img_mk)
+    name = case[0]
     rmse = float(np.sqrt(np.mean((a - b) ** 2)))
     rmse4 = float(np.sqrt(np.mean((_box4(a) - _box4(b)) ** 2)))
     d_tm = abs(float(a.mean() - b.mean())) / max(float(b.mean()), 1e-9)
-    # Three gates, calibrated against measured values at exactly these
-    # deterministic settings (CPU, fixed seeds; round-4 measurement):
+    # Measured values at exactly these deterministic settings (CPU, fixed
+    # seeds; round-4 measurement — reproducible bit-for-bit):
     #   config            rmse    box4    d_tm
     #   teapot_diffuse    0.0035  0.0007  0.08%
     #   teapot_dielectric 0.0034  0.0007  0.04%
     #   gold_rings        0.0086  0.0022  0.02%
     #   egyptcat          0.0595  0.0150  0.04%
     #   luxball           0.0270  0.0049  0.29%
+    # PER-CONFIG gates at ~1.3x each config's own floor (round-4 verdict
+    # weak #4: one global 0.07 gate left teapot's floor 20x of headroom —
+    # a regression smaller than 18% on egyptcat, or 20x on teapot, slipped
+    # through). d_tm gets 2x + 0.2% absolute: it is the sharpest detector
+    # and the most sensitive to legitimate RNG-order changes.
+    GATES = {                       # name: (rmse, box4, d_tm_floor)
+        "teapot_diffuse":    (0.0046, 0.0010, 0.0008),
+        "teapot_dielectric": (0.0045, 0.0010, 0.0004),
+        "gold_rings":        (0.0112, 0.0029, 0.0002),
+        "egyptcat":          (0.0774, 0.0195, 0.0004),
+        "luxball":           (0.0351, 0.0064, 0.0029),
+    }
+    g_rmse, g_box4, tm_floor = GATES.get(name, (0.07, 0.03, 0.005))
     # 1. full-res RMSE: localized artifacts (fireflies dominate on the
     #    HDR-env scenes — egyptcat's raw mean diff is 4.4% at 16 spp yet
     #    collapses to 0.7% at 64 spp: variance, not bias).
-    assert rmse < 0.07, f"wf-vs-mk RMSE {rmse:.4f}"
+    assert rmse < g_rmse, f"{name}: wf-vs-mk RMSE {rmse:.4f} >= {g_rmse}"
     # 2. box-downsampled RMSE: low-frequency structure/energy errors with
-    #    the noise floor averaged down 4x (2x margin over worst measured).
-    assert rmse4 < 0.03, f"wf-vs-mk box4 RMSE {rmse4:.4f}"
+    #    the noise floor averaged down 4x.
+    assert rmse4 < g_box4, f"{name}: box4 RMSE {rmse4:.4f} >= {g_box4}"
     # 3. tonemapped mean energy: the sharp bias detector — tonemapping
-    #    compresses fireflies so the mean is stable (<0.3% measured), but
-    #    a systematic 3-5% energy bias (wrong MIS weight, RR bias, splat
-    #    miscount) survives compression at ~2-3% and fails this hard.
-    assert d_tm < 0.01, f"wf-vs-mk tonemapped mean diff {d_tm * 100:.2f}%"
+    #    compresses fireflies so the mean is stable, but a systematic
+    #    3-5% energy bias (wrong MIS weight, RR bias, splat miscount)
+    #    survives compression at ~2-3% and fails this hard.
+    g_tm = 2.0 * tm_floor + 0.002
+    assert d_tm < g_tm, \
+        f"{name}: tonemapped mean diff {d_tm * 100:.2f}% >= {g_tm * 100:.2f}%"
 
 
 def test_fast_env_image_error():
