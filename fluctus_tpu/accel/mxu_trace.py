@@ -61,8 +61,6 @@ from .. import flags
 # below it the flat candidate list is cheaper
 SC_CLUSTERS = flags.env_int("SC_CLUSTERS", 64)
 SC_THRESHOLD = flags.env_int("SC_THRESHOLD", 96)
-# fine-cull granularity and sub-slots per packed visit for the rol4 kernel
-FINE_SIZE = flags.env_int("FINE_SIZE", 64)
 
 # bump when any table layout changes (ATTR_*/B16 columns, transform packing,
 # cluster/supercluster cut rules) — invalidates on-disk table caches
@@ -338,11 +336,9 @@ class MXUScene:
     # c*16..c*16+12) — DMA/slice-friendly layout for the resolve kernels'
     # exact-f32 winner-transform fetch
     t12b: Optional[jnp.ndarray] = None
-    # 128-triangle sub-block AABBs [n_clusters * (tc//128), 8] for the
-    # sub-block-culled kernel (NaN rows = empty sub-block, never hit)
+    # sub_box/fine_box fed the deleted rol3/rol4/sc3 generations; kept
+    # as fields (always None now) for table-cache format compatibility
     sub_box: Optional[jnp.ndarray] = None
-    # FINE_SIZE-triangle AABBs [Mpad/FINE_SIZE, 8] — the rol4 packed-visit
-    # kernel's candidate granularity (NaN rows = empty)
     fine_box: Optional[jnp.ndarray] = None
     # bf16 resolve table [Mpad, 128] (B16 layout) — one single-pass MXU
     # one-hot product fetches transforms + all shading attributes
@@ -509,30 +505,12 @@ class MXUScene:
         txy_t = np.concatenate([t4[:, :, 0], t4[:, :, 1], t4[:, :, 2]],
                                axis=1).astype(np.float32)  # [Mpad, 12]
 
-        def _granular_boxes(gran):
-            """AABBs of `gran`-triangle blocks in cluster-table order
-            (centered coords; NaN rows = empty block, never slab-hit)."""
-            nb = cluster_size // gran
-            tmin = np.where(used[:, None], tris.min(axis=1), np.inf)
-            tmax = np.where(used[:, None], tris.max(axis=1), -np.inf)
-            g = tmin.reshape(n_clusters * nb, gran, 3).min(axis=1)
-            h = tmax.reshape(n_clusters * nb, gran, 3).max(axis=1)
-            any_used = used.reshape(n_clusters * nb, gran).any(axis=1)
-            sb = np.full((n_clusters * nb, 8), np.nan, np.float32)
-            sb[:, 0:3] = np.where(any_used[:, None], g, np.nan)
-            sb[:, 3:6] = np.where(any_used[:, None], h, np.nan)
-            return sb
-
+        # sub_box/fine_box fed the deleted rol3/rol4/sc3 kernel
+        # generations (sweep losers, PERF.md round-5 table); the fields
+        # stay on the NamedTuple for table-cache compatibility but are
+        # no longer built.
         sub_box = None
-        if cluster_size % 128 == 0:
-            sub_box = _granular_boxes(128)
-        # FINE-granularity boxes for the packed-visit kernel (rol4): the
-        # candidate cull runs at FINE_SIZE triangles — measured 2.7x fewer
-        # live pairs/ray than 256-granularity on egyptcat bounce tiles —
-        # while pair math still runs on packed [PACK*FINE_SIZE, rt] blocks
         fine_box = None
-        if cluster_size % FINE_SIZE == 0:
-            fine_box = _granular_boxes(FINE_SIZE)
 
         attr_b16 = None
         if attrs is not None:
@@ -561,10 +539,10 @@ class MXUScene:
                 .reshape(n_clusters * B16.COLS, cluster_size))
 
         # slim (production at >64k tris): drop tables no runtime path can
-        # reach at that scale — attr_b16 only feeds b16t and resolve v3
-        # (replaced by v5), txy_t beyond the rol2/rol4 residency gate is
-        # unreachable, and tx/ty/tz serve only the rays-on-sublanes
-        # fallback (FLT_ROL=0). ~295 MB of HBM + cache at 481k tris.
+        # reach at that scale — attr_b16 only feeds b16t, txy_t serves
+        # only debug u/v recovery and the interpret resolve, and tx/ty/tz
+        # serve only the rays-on-sublanes fallback (FLT_ROL=0).
+        # ~295 MB of HBM + cache at 481k tris.
         tx = ty = tz = None
         if slim:
             attr_b16 = None
@@ -1021,697 +999,6 @@ def _trace_rol_sc(o4, d4, tmax_col, t12, boxes, sc_boxes, scene_static,
     return t.reshape(b, 1), i.reshape(b, 1)
 
 
-SUB = 128     # sub-block granularity (lane slices must stay 128-aligned)
-
-
-def _trace_kernel_rol_sc3(o_ref, tm_ref, ord_ref, cons_ref, t12_ref,
-                          box_ref, sbox_ref, scb_ref, t_ref, i_ref, *,
-                          rt, tc, n_sc, any_hit):
-    """Supercluster sweep with SUB-triangle sub-block culling inside each
-    live cluster (the rol3 gate applied at the sc tier): a live cluster's
-    pair math runs per 128-tri sub-block, each gated by its own [1, rt]
-    slab against the sub-block AABB. Bounce tiles at conference scale
-    enter many clusters only marginally — the finer gate skips the halves
-    none of the tile's rays can reach (rol4's fine-cull finding applied
-    where t12 lane slicing forces 128 alignment)."""
-    nsb = tc // SUB
-    O = o_ref[0]                      # [8, rt]
-    o0, o1, o2 = O[0:1], O[1:2], O[2:3]
-    d0, d1, d2 = O[4:5], O[5:6], O[6:7]
-    eps = 1e-30
-    i0 = 1.0 / jnp.where(d0 == 0.0, eps, d0)
-    i1 = 1.0 / jnp.where(d1 == 0.0, eps, d1)
-    i2 = 1.0 / jnp.where(d2 == 0.0, eps, d2)
-    tm = tm_ref[0]
-    t_ref[0] = tm
-    i_ref[0] = jnp.full((1, rt), -1, jnp.int32)
-    rowbits = SUB - 1
-
-    def slab6(b0, b1, b2, b3, b4, b5, t_best):
-        ax = (b0 - o0) * i0
-        bx = (b3 - o0) * i0
-        ay = (b1 - o1) * i1
-        by = (b4 - o1) * i1
-        az = (b2 - o2) * i2
-        bz = (b5 - o2) * i2
-        tnear = jnp.maximum(jnp.maximum(jnp.minimum(ax, bx),
-                                        jnp.minimum(ay, by)),
-                            jnp.minimum(az, bz))
-        tfar = jnp.minimum(jnp.minimum(jnp.maximum(ax, bx),
-                                       jnp.maximum(ay, by)),
-                           jnp.maximum(az, bz))
-        hit = (tfar >= 0.0) & (tnear <= tfar) & (tnear < t_best)
-        if any_hit:
-            hit = hit & (i_ref[0] < 0)
-        return hit
-
-    def cond(carry):
-        slot, stop = carry
-        return (slot < n_sc) & ~stop
-
-    def body(carry):
-        slot, _ = carry
-        s = ord_ref[0, slot, 0]
-        srow = scb_ref[jnp.maximum(s, 0), :]
-        live_sc = jnp.any(slab6(srow[0], srow[1], srow[2], srow[3],
-                                srow[4], srow[5], t_ref[0])) & (s >= 0)
-
-        @pl.when(live_sc)
-        def _():
-            c0 = srow[6].astype(jnp.int32)
-            cnt = srow[7].astype(jnp.int32)
-
-            def inner(k, _):
-                c = c0 + k
-                t_best0 = t_ref[0]
-                box = box_ref[c, :]
-                live = jnp.any(slab6(box[0], box[1], box[2], box[3],
-                                     box[4], box[5], t_best0)) \
-                    & (jnp.max(t_best0) > 0.0)
-
-                @pl.when(live)
-                def _():
-                    for sb in range(nsb):
-                        t_best = t_ref[0]
-                        sbox = sbox_ref[c * nsb + sb, :]
-                        sub_live = jnp.any(slab6(
-                            sbox[0], sbox[1], sbox[2], sbox[3], sbox[4],
-                            sbox[5], t_best))
-
-                        @pl.when(sub_live)
-                        def _(sb=sb, t_best=t_best):
-                            off = pl.multiple_of(c * tc + sb * SUB, 128)
-                            TT = t12_ref[:, pl.ds(off, SUB)].T  # [SUB, 12]
-                            oz = o0 * TT[:, 8:9] + o1 * TT[:, 9:10] \
-                                + o2 * TT[:, 10:11] + TT[:, 11:12]
-                            dz = d0 * TT[:, 8:9] + d1 * TT[:, 9:10] \
-                                + d2 * TT[:, 10:11]
-                            t = -oz / jnp.where(dz == 0.0, 1.0, dz)
-                            ox = o0 * TT[:, 0:1] + o1 * TT[:, 1:2] \
-                                + o2 * TT[:, 2:3] + TT[:, 3:4]
-                            dx = d0 * TT[:, 0:1] + d1 * TT[:, 1:2] \
-                                + d2 * TT[:, 2:3]
-                            u = ox + t * dx
-                            oy = o0 * TT[:, 4:5] + o1 * TT[:, 5:6] \
-                                + o2 * TT[:, 6:7] + TT[:, 7:8]
-                            dy = d0 * TT[:, 4:5] + d1 * TT[:, 5:6] \
-                                + d2 * TT[:, 6:7]
-                            v = oy + t * dy
-                            valid = (dz != 0.0) & (t > 0.0) & \
-                                (jnp.minimum(jnp.minimum(u, v),
-                                             1.0 - u - v) >= 0.0)
-                            if any_hit:
-                                tcand = jnp.where(valid, t, F32_MAX)
-                                tmin = jnp.min(tcand, axis=0, keepdims=True)
-                                blocked = tmin < t_best
-                                i_ref[0] = jnp.where(blocked, 1, i_ref[0])
-                                t_ref[0] = jnp.where(blocked, 0.0, t_ref[0])
-                            else:
-                                row = jax.lax.broadcasted_iota(
-                                    jnp.int32, (SUB, rt), 0)
-                                key = (pltpu.bitcast(t, jnp.int32)
-                                       & ~rowbits) | row
-                                key = jnp.where(valid, key,
-                                                jnp.int32(0x7F800000))
-                                kmin = jnp.min(key, axis=0, keepdims=True)
-                                tmin = pltpu.bitcast(kmin & ~rowbits,
-                                                     jnp.float32)
-                                better = tmin < t_best
-                                t_ref[0] = jnp.where(better, tmin, t_ref[0])
-                                i_ref[0] = jnp.where(
-                                    better,
-                                    (kmin & rowbits) + c * tc + sb * SUB,
-                                    i_ref[0])
-                return 0
-
-            jax.lax.fori_loop(0, cnt, inner, 0)
-
-        nxt = slot + 1
-        guard = jnp.minimum(nxt, n_sc - 1)
-        t_worst = jnp.max(t_ref[0])
-        stop = (ord_ref[0, guard, 0] < 0) \
-            | (cons_ref[0, guard, 0] > t_worst) | (t_worst <= 0.0)
-        return nxt, stop
-
-    t_worst0 = jnp.max(tm)
-    stop0 = (ord_ref[0, 0, 0] < 0) | (cons_ref[0, 0, 0] > t_worst0) \
-        | (t_worst0 <= 0.0)
-    jax.lax.while_loop(cond, body, (jnp.int32(0), stop0))
-
-
-@partial(jax.jit, static_argnames=("scene_static", "any_hit", "ray_tile",
-                                   "interpret"))
-def _trace_rol_sc3(o4, d4, tmax_col, t12, boxes, sboxes, sc_boxes,
-                   scene_static, any_hit, ray_tile, interpret):
-    """Supercluster dispatch with in-cluster sub-block culling
-    (FLT_SC_SUB=1)."""
-    n_sc, tc = scene_static
-    rt = ray_tile
-    b = o4.shape[0]
-    nt = b // rt
-
-    order, cons = _tile_order_dispatch(o4, d4, tmax_col, sc_boxes, rt,
-                                       interpret)
-    nsc_pad = order.shape[1]
-
-    rays = jnp.stack([o4[:, 0], o4[:, 1], o4[:, 2], o4[:, 3],
-                      d4[:, 0], d4[:, 1], d4[:, 2], d4[:, 3]], axis=0)
-    rays = rays.reshape(8, nt, rt).transpose(1, 0, 2)
-    tm = tmax_col.reshape(nt, 1, rt)
-
-    kernel = partial(_trace_kernel_rol_sc3, rt=rt, tc=tc,
-                     n_sc=nsc_pad, any_hit=any_hit)
-    t, i = pl.pallas_call(
-        kernel,
-        grid=(nt,),
-        in_specs=[
-            pl.BlockSpec((1, 8, rt), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nsc_pad, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nsc_pad, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # t12 resident
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # cluster boxes
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # sub-block boxes
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # supercluster rows
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nt, 1, rt), jnp.float32),
-            jax.ShapeDtypeStruct((nt, 1, rt), jnp.int32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(t12.size * 4 + (40 << 20), 127 << 20)),
-        interpret=interpret,
-    )(rays, tm, order, cons, t12, boxes, sboxes, sc_boxes)
-    return t.reshape(b, 1), i.reshape(b, 1)
-
-
-def _trace_kernel_rol3(o_ref, tm_ref, ord_ref, cons_ref, t12_ref, box_ref,
-                       sbox_ref, t_ref, i_ref, *, rt, tc, n_clusters,
-                       any_hit):
-    """Rays-on-lanes with SUB-triangle sub-block culling: a visited
-    cluster's pair math runs per 128-tri sub-block, each gated by its own
-    [1, rt] slab test against the sub-block AABB — divergent tiles stop
-    paying for the parts of a cluster none of their rays can enter."""
-    nsb = tc // SUB
-    O = o_ref[0]
-    o0, o1, o2 = O[0:1], O[1:2], O[2:3]
-    d0, d1, d2 = O[4:5], O[5:6], O[6:7]
-    eps = 1e-30
-    i0 = 1.0 / jnp.where(d0 == 0.0, eps, d0)
-    i1 = 1.0 / jnp.where(d1 == 0.0, eps, d1)
-    i2 = 1.0 / jnp.where(d2 == 0.0, eps, d2)
-    tm = tm_ref[0]
-    t_ref[0] = tm
-    i_ref[0] = jnp.full((1, rt), -1, jnp.int32)
-    rowbits = SUB - 1
-
-    def slab(box, t_best):
-        ax = (box[0] - o0) * i0
-        bx = (box[3] - o0) * i0
-        ay = (box[1] - o1) * i1
-        by = (box[4] - o1) * i1
-        az = (box[2] - o2) * i2
-        bz = (box[5] - o2) * i2
-        tnear = jnp.maximum(jnp.maximum(jnp.minimum(ax, bx),
-                                        jnp.minimum(ay, by)),
-                            jnp.minimum(az, bz))
-        tfar = jnp.minimum(jnp.minimum(jnp.maximum(ax, bx),
-                                       jnp.maximum(ay, by)),
-                           jnp.maximum(az, bz))
-        hit = (tfar >= 0.0) & (tnear <= tfar) & (tnear < t_best)
-        if any_hit:
-            hit = hit & (i_ref[0] < 0)
-        return hit
-
-    def cond(carry):
-        slot, stop = carry
-        return (slot < n_clusters) & ~stop
-
-    def body(carry):
-        slot, _ = carry
-        c = ord_ref[0, slot, 0]
-        t_best0 = t_ref[0]
-        box = box_ref[jnp.maximum(c, 0), :]
-        live = jnp.any(slab(box, t_best0)) & (c >= 0)
-
-        @pl.when(live)
-        def _():
-            for sb in range(nsb):
-                t_best = t_ref[0]
-                sbox = sbox_ref[jnp.maximum(c, 0) * nsb + sb, :]
-                sub_live = jnp.any(slab(sbox, t_best))
-
-                @pl.when(sub_live)
-                def _(sb=sb, t_best=t_best):
-                    off = pl.multiple_of(c * tc + sb * SUB, 128)
-                    TT = t12_ref[:, pl.ds(off, SUB)].T        # [SUB, 12]
-                    oz = o0 * TT[:, 8:9] + o1 * TT[:, 9:10] \
-                        + o2 * TT[:, 10:11] + TT[:, 11:12]
-                    dz = d0 * TT[:, 8:9] + d1 * TT[:, 9:10] \
-                        + d2 * TT[:, 10:11]
-                    t = -oz / jnp.where(dz == 0.0, 1.0, dz)
-                    ox = o0 * TT[:, 0:1] + o1 * TT[:, 1:2] \
-                        + o2 * TT[:, 2:3] + TT[:, 3:4]
-                    dx = d0 * TT[:, 0:1] + d1 * TT[:, 1:2] + d2 * TT[:, 2:3]
-                    u = ox + t * dx
-                    oy = o0 * TT[:, 4:5] + o1 * TT[:, 5:6] \
-                        + o2 * TT[:, 6:7] + TT[:, 7:8]
-                    dy = d0 * TT[:, 4:5] + d1 * TT[:, 5:6] + d2 * TT[:, 6:7]
-                    v = oy + t * dy
-                    valid = (dz != 0.0) & (t > 0.0) & \
-                        (jnp.minimum(jnp.minimum(u, v), 1.0 - u - v) >= 0.0)
-                    if any_hit:
-                        tcand = jnp.where(valid, t, F32_MAX)
-                        tmin = jnp.min(tcand, axis=0, keepdims=True)
-                        blocked = tmin < t_best
-                        i_ref[0] = jnp.where(blocked, 1, i_ref[0])
-                        t_ref[0] = jnp.where(blocked, 0.0, t_ref[0])
-                    else:
-                        row = jax.lax.broadcasted_iota(jnp.int32, (SUB, rt),
-                                                       0)
-                        key = (pltpu.bitcast(t, jnp.int32) & ~rowbits) | row
-                        key = jnp.where(valid, key, jnp.int32(0x7F800000))
-                        kmin = jnp.min(key, axis=0, keepdims=True)
-                        tmin = pltpu.bitcast(kmin & ~rowbits, jnp.float32)
-                        better = tmin < t_best
-                        t_ref[0] = jnp.where(better, tmin, t_ref[0])
-                        i_ref[0] = jnp.where(
-                            better, (kmin & rowbits) + c * tc + sb * SUB,
-                            i_ref[0])
-
-        nxt = slot + 1
-        guard = jnp.minimum(nxt, n_clusters - 1)
-        t_worst = jnp.max(t_ref[0])
-        stop = (ord_ref[0, guard, 0] < 0) | (cons_ref[0, guard, 0] > t_worst) \
-            | (t_worst <= 0.0)
-        return nxt, stop
-
-    t_worst0 = jnp.max(tm)
-    stop0 = (ord_ref[0, 0, 0] < 0) | (cons_ref[0, 0, 0] > t_worst0) \
-        | (t_worst0 <= 0.0)
-    jax.lax.while_loop(cond, body, (jnp.int32(0), stop0))
-
-
-@partial(jax.jit, static_argnames=("scene_static", "any_hit", "ray_tile",
-                                   "interpret"))
-def _trace_rol3(o4, d4, tmax_col, t12, boxes, sboxes, scene_static, any_hit,
-                ray_tile, interpret):
-    """Sub-block-culled rays-on-lanes dispatch."""
-    n_clusters, tc = scene_static
-    rt = ray_tile
-    b = o4.shape[0]
-    nt = b // rt
-
-    order, cons = _tile_order_dispatch(o4, d4, tmax_col, boxes, rt, interpret)
-    ncl_pad = order.shape[1]
-
-    rays = jnp.stack([o4[:, 0], o4[:, 1], o4[:, 2], o4[:, 3],
-                      d4[:, 0], d4[:, 1], d4[:, 2], d4[:, 3]], axis=0)
-    rays = rays.reshape(8, nt, rt).transpose(1, 0, 2)
-    tm = tmax_col.reshape(nt, 1, rt)
-
-    kernel = partial(_trace_kernel_rol3, rt=rt, tc=tc,
-                     n_clusters=n_clusters, any_hit=any_hit)
-    t, i = pl.pallas_call(
-        kernel,
-        grid=(nt,),
-        in_specs=[
-            pl.BlockSpec((1, 8, rt), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ncl_pad, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ncl_pad, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nt, 1, rt), jnp.float32),
-            jax.ShapeDtypeStruct((nt, 1, rt), jnp.int32),
-        ],
-        interpret=interpret,
-    )(rays, tm, order, cons, t12, boxes, sboxes)
-    return t.reshape(b, 1), i.reshape(b, 1)
-
-
-def _trace_kernel_rol2(o_ref, tm_ref, ord_ref, cons_ref, txy_ref, box_ref,
-                       t_ref, i_ref, *, rt, tc, n_clusters, any_hit):
-    """Rays-on-lanes, pre-transposed-table variant: the per-cluster
-    transform block is sliced [tc, 12] from the [Mpad, 12] table on
-    SUBLANES (dynamic sublane slicing is native) — no in-register
-    transpose per visit, unlike _trace_kernel_rol's [12, tc] lane slice."""
-    O = o_ref[0]                      # [8, rt]: ox oy oz 1 dx dy dz 0
-    o0, o1, o2 = O[0:1], O[1:2], O[2:3]
-    d0, d1, d2 = O[4:5], O[5:6], O[6:7]
-    eps = 1e-30
-    i0 = 1.0 / jnp.where(d0 == 0.0, eps, d0)
-    i1 = 1.0 / jnp.where(d1 == 0.0, eps, d1)
-    i2 = 1.0 / jnp.where(d2 == 0.0, eps, d2)
-    tm = tm_ref[0]                    # [1, rt]
-    t_ref[0] = tm
-    i_ref[0] = jnp.full((1, rt), -1, jnp.int32)
-    rowbits = tc - 1
-
-    def cond(carry):
-        slot, stop = carry
-        return (slot < n_clusters) & ~stop
-
-    def body(carry):
-        slot, _ = carry
-        c = ord_ref[0, slot, 0]
-        t_best = t_ref[0]             # [1, rt]
-        box = box_ref[jnp.maximum(c, 0), :]
-
-        ax = (box[0] - o0) * i0
-        bx = (box[3] - o0) * i0
-        ay = (box[1] - o1) * i1
-        by = (box[4] - o1) * i1
-        az = (box[2] - o2) * i2
-        bz = (box[5] - o2) * i2
-        tnear = jnp.maximum(jnp.maximum(jnp.minimum(ax, bx),
-                                        jnp.minimum(ay, by)),
-                            jnp.minimum(az, bz))
-        tfar = jnp.minimum(jnp.minimum(jnp.maximum(ax, bx),
-                                       jnp.maximum(ay, by)),
-                           jnp.maximum(az, bz))
-        box_hit = (tfar >= 0.0) & (tnear <= tfar) & (tnear < t_best)
-        if any_hit:
-            box_hit = box_hit & (i_ref[0] < 0)
-        live = jnp.any(box_hit) & (c >= 0)
-
-        @pl.when(live)
-        def _():
-            off = pl.multiple_of(c * tc, 128)
-            TT = txy_ref[pl.ds(off, tc), :]          # [tc, 12], no transpose
-            oz = o0 * TT[:, 8:9] + o1 * TT[:, 9:10] + o2 * TT[:, 10:11] \
-                + TT[:, 11:12]
-            dz = d0 * TT[:, 8:9] + d1 * TT[:, 9:10] + d2 * TT[:, 10:11]
-            t = -oz / jnp.where(dz == 0.0, 1.0, dz)
-            ox = o0 * TT[:, 0:1] + o1 * TT[:, 1:2] + o2 * TT[:, 2:3] \
-                + TT[:, 3:4]
-            dx = d0 * TT[:, 0:1] + d1 * TT[:, 1:2] + d2 * TT[:, 2:3]
-            u = ox + t * dx
-            oy = o0 * TT[:, 4:5] + o1 * TT[:, 5:6] + o2 * TT[:, 6:7] \
-                + TT[:, 7:8]
-            dy = d0 * TT[:, 4:5] + d1 * TT[:, 5:6] + d2 * TT[:, 6:7]
-            v = oy + t * dy
-            valid = (dz != 0.0) & (t > 0.0) & \
-                (jnp.minimum(jnp.minimum(u, v), 1.0 - u - v) >= 0.0)
-            if any_hit:
-                tcand = jnp.where(valid, t, F32_MAX)
-                tmin = jnp.min(tcand, axis=0, keepdims=True)
-                blocked = tmin < t_best
-                i_ref[0] = jnp.where(blocked, 1, i_ref[0])
-                t_ref[0] = jnp.where(blocked, 0.0, t_ref[0])
-            else:
-                row = jax.lax.broadcasted_iota(jnp.int32, (tc, rt), 0)
-                key = (pltpu.bitcast(t, jnp.int32) & ~rowbits) | row
-                key = jnp.where(valid, key, jnp.int32(0x7F800000))
-                kmin = jnp.min(key, axis=0, keepdims=True)
-                tmin = pltpu.bitcast(kmin & ~rowbits, jnp.float32)
-                better = tmin < t_best
-                t_ref[0] = jnp.where(better, tmin, t_ref[0])
-                i_ref[0] = jnp.where(better, (kmin & rowbits) + c * tc,
-                                     i_ref[0])
-
-        nxt = slot + 1
-        guard = jnp.minimum(nxt, n_clusters - 1)
-        t_worst = jnp.max(t_ref[0])
-        stop = (ord_ref[0, guard, 0] < 0) | (cons_ref[0, guard, 0] > t_worst) \
-            | (t_worst <= 0.0)
-        return nxt, stop
-
-    t_worst0 = jnp.max(tm)
-    stop0 = (ord_ref[0, 0, 0] < 0) | (cons_ref[0, 0, 0] > t_worst0) \
-        | (t_worst0 <= 0.0)
-    jax.lax.while_loop(cond, body, (jnp.int32(0), stop0))
-
-
-@partial(jax.jit, static_argnames=("scene_static", "any_hit", "ray_tile",
-                                   "interpret"))
-def _trace_rol2(o4, d4, tmax_col, txy_t, boxes, scene_static, any_hit,
-                ray_tile, interpret):
-    """Rays-on-lanes dispatch against the pre-transposed [Mpad, 12] table."""
-    n_clusters, tc = scene_static
-    rt = ray_tile
-    b = o4.shape[0]
-    nt = b // rt
-
-    order, cons = _tile_order_dispatch(o4, d4, tmax_col, boxes, rt, interpret)
-    ncl_pad = order.shape[1]
-
-    rays = jnp.stack([o4[:, 0], o4[:, 1], o4[:, 2], o4[:, 3],
-                      d4[:, 0], d4[:, 1], d4[:, 2], d4[:, 3]], axis=0)
-    rays = rays.reshape(8, nt, rt).transpose(1, 0, 2)     # [nt, 8, rt]
-    tm = tmax_col.reshape(nt, 1, rt)
-
-    kernel = partial(_trace_kernel_rol2, rt=rt, tc=tc,
-                     n_clusters=n_clusters, any_hit=any_hit)
-    t, i = pl.pallas_call(
-        kernel,
-        grid=(nt,),
-        in_specs=[
-            pl.BlockSpec((1, 8, rt), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ncl_pad, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ncl_pad, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nt, 1, rt), jnp.float32),
-            jax.ShapeDtypeStruct((nt, 1, rt), jnp.int32),
-        ],
-        interpret=interpret,
-    )(rays, tm, order, cons, txy_t, boxes)
-    return t.reshape(b, 1), i.reshape(b, 1)
-
-
-def _trace_kernel_rol4(o_ref, tm_ref, ord_ref, cons_ref, txy_ref, box_ref,
-                       t_ref, i_ref, pack_ref, *, rt, fc, pk, n_fine,
-                       any_hit):
-    """Packed fine-cluster rays-on-lanes kernel: the candidate list holds
-    FINE_SIZE-triangle blocks (cull granularity fc), and each loop visit
-    gathers up to `pk` live candidates' [fc, 12] transform slices into a
-    contiguous VMEM scratch, then runs ONE [pk*fc, rt] pair-math pass.
-    Fine culling cuts live pairs ~2.7x on bounce tiles (measured probe vs
-    256-granularity), while packing keeps the vector shapes and the
-    per-visit fixed costs (loop control, winner reduce, early-out) at the
-    coarse kernel's amortization. Sub-slots that fail their tile slab are
-    left stale in scratch and neutralized by a per-row validity mask."""
-    O = o_ref[0]                      # [8, rt]: ox oy oz 1 dx dy dz 0
-    o0, o1, o2 = O[0:1], O[1:2], O[2:3]
-    d0, d1, d2 = O[4:5], O[5:6], O[6:7]
-    eps = 1e-30
-    i0 = 1.0 / jnp.where(d0 == 0.0, eps, d0)
-    i1 = 1.0 / jnp.where(d1 == 0.0, eps, d1)
-    i2 = 1.0 / jnp.where(d2 == 0.0, eps, d2)
-    tm = tm_ref[0]                    # [1, rt]
-    t_ref[0] = tm
-    i_ref[0] = jnp.full((1, rt), -1, jnp.int32)
-    tcp = pk * fc
-    rowbits = tcp - 1
-    shift = int(np.log2(fc))
-
-    def slab(c):
-        box = box_ref[jnp.maximum(c, 0), :]
-        ax = (box[0] - o0) * i0
-        bx = (box[3] - o0) * i0
-        ay = (box[1] - o1) * i1
-        by = (box[4] - o1) * i1
-        az = (box[2] - o2) * i2
-        bz = (box[5] - o2) * i2
-        tnear = jnp.maximum(jnp.maximum(jnp.minimum(ax, bx),
-                                        jnp.minimum(ay, by)),
-                            jnp.minimum(az, bz))
-        tfar = jnp.minimum(jnp.minimum(jnp.maximum(ax, bx),
-                                       jnp.maximum(ay, by)),
-                           jnp.maximum(az, bz))
-        hit = (tfar >= 0.0) & (tnear <= tfar) & (tnear < t_ref[0])
-        if any_hit:
-            hit = hit & (i_ref[0] < 0)
-        return hit
-
-    def cond(carry):
-        slot, stop = carry
-        return (slot < n_fine) & ~stop
-
-    def body(carry):
-        slot, _ = carry
-        t_best = t_ref[0]             # [1, rt]
-        flags = []
-        bases = []
-        for j in range(pk):
-            c = ord_ref[0, jnp.minimum(slot + j, n_fine - 1), 0]
-            live = jnp.any(slab(c)) & (c >= 0) & (slot + j < n_fine)
-            flags.append(live)
-            bases.append(jnp.where(live, c * fc, 0))
-
-            @pl.when(live)
-            def _(c=c, j=j):
-                off = pl.multiple_of(c * fc, fc)
-                pack_ref[j * fc:(j + 1) * fc, :] = \
-                    txy_ref[pl.ds(off, fc), :]
-
-        any_live = flags[0]
-        for j in range(1, pk):
-            any_live = any_live | flags[j]
-
-        @pl.when(any_live)
-        def _():
-            TT = pack_ref[:]                          # [pk*fc, 12]
-            oz = o0 * TT[:, 8:9] + o1 * TT[:, 9:10] + o2 * TT[:, 10:11] \
-                + TT[:, 11:12]
-            dz = d0 * TT[:, 8:9] + d1 * TT[:, 9:10] + d2 * TT[:, 10:11]
-            t = -oz / jnp.where(dz == 0.0, 1.0, dz)
-            ox = o0 * TT[:, 0:1] + o1 * TT[:, 1:2] + o2 * TT[:, 2:3] \
-                + TT[:, 3:4]
-            dx = d0 * TT[:, 0:1] + d1 * TT[:, 1:2] + d2 * TT[:, 2:3]
-            u = ox + t * dx
-            oy = o0 * TT[:, 4:5] + o1 * TT[:, 5:6] + o2 * TT[:, 6:7] \
-                + TT[:, 7:8]
-            dy = d0 * TT[:, 4:5] + d1 * TT[:, 5:6] + d2 * TT[:, 6:7]
-            v = oy + t * dy
-            # stale sub-slot rows are masked out here (scratch keeps the
-            # previous visit's transforms when a sub-slot's slab failed)
-            sub = jax.lax.broadcasted_iota(jnp.int32, (tcp, 1), 0) >> shift
-            rowok = (sub == 0) & flags[0]
-            for j in range(1, pk):
-                rowok = rowok | ((sub == j) & flags[j])
-            valid = rowok & (dz != 0.0) & (t > 0.0) & \
-                (jnp.minimum(jnp.minimum(u, v), 1.0 - u - v) >= 0.0)
-            if any_hit:
-                tcand = jnp.where(valid, t, F32_MAX)
-                tmin = jnp.min(tcand, axis=0, keepdims=True)
-                blocked = tmin < t_best
-                i_ref[0] = jnp.where(blocked, 1, i_ref[0])
-                t_ref[0] = jnp.where(blocked, 0.0, t_ref[0])
-            else:
-                row = jax.lax.broadcasted_iota(jnp.int32, (tcp, rt), 0)
-                key = (pltpu.bitcast(t, jnp.int32) & ~rowbits) | row
-                key = jnp.where(valid, key, jnp.int32(0x7F800000))
-                kmin = jnp.min(key, axis=0, keepdims=True)
-                tmin = pltpu.bitcast(kmin & ~rowbits, jnp.float32)
-                better = tmin < t_best
-                wrow = kmin & rowbits                 # [1, rt]
-                wsub = wrow >> shift
-                wcol = wrow & (fc - 1)
-                for j in range(pk):
-                    wcol = wcol + jnp.where(wsub == j, bases[j], 0)
-                t_ref[0] = jnp.where(better, tmin, t_ref[0])
-                i_ref[0] = jnp.where(better, wcol, i_ref[0])
-
-        nxt = slot + pk
-        guard = jnp.minimum(nxt, n_fine - 1)
-        t_worst = jnp.max(t_ref[0])
-        stop = (ord_ref[0, guard, 0] < 0) | (cons_ref[0, guard, 0] > t_worst) \
-            | (t_worst <= 0.0)
-        return nxt, stop
-
-    t_worst0 = jnp.max(tm)
-    stop0 = (ord_ref[0, 0, 0] < 0) | (cons_ref[0, 0, 0] > t_worst0) \
-        | (t_worst0 <= 0.0)
-    jax.lax.while_loop(cond, body, (jnp.int32(0), stop0))
-
-
-@partial(jax.jit, static_argnames=("scene_static", "any_hit", "ray_tile",
-                                   "interpret"))
-def _trace_rol4(o4, d4, tmax_col, txy_t, fine_boxes, scene_static, any_hit,
-                ray_tile, interpret, coarse_boxes=None):
-    """Packed fine-cluster dispatch: candidate lists at FINE_SIZE
-    granularity against the resident [Mpad, 12] transform table.
-
-    With ``coarse_boxes`` (FLT_ROL4_COARSE=1) the per-tile candidate
-    generation runs at CLUSTER granularity — 1/r the slab/sort work —
-    and survivors expand to their r fine blocks, inheriting the parent's
-    conservative tnear (monotone, so the front-to-back early-out stays
-    valid); the kernel's own per-visit fine slabs do the precise cull."""
-    n_fine, fc, pk = scene_static
-    rt = ray_tile
-    b = o4.shape[0]
-    nt = b // rt
-
-    if coarse_boxes is not None:
-        r = n_fine // coarse_boxes.shape[0]   # fine blocks per cluster
-        order_c, cons_c = _tile_order_dispatch(o4, d4, tmax_col,
-                                               coarse_boxes, rt, interpret)
-        oc = order_c[:, :, 0]                       # [nt, ncl_pad]
-        kid = jnp.arange(r, dtype=jnp.int32)
-        ex = jnp.where(oc[:, :, None] >= 0,
-                       oc[:, :, None] * r + kid, jnp.int32(-1))
-        order = ex.reshape(nt, -1, 1)
-        cons = jnp.repeat(cons_c, r, axis=1)
-    else:
-        order, cons = _tile_order_dispatch(o4, d4, tmax_col, fine_boxes,
-                                           rt, interpret)
-    nfc_pad = order.shape[1]
-
-    rays = jnp.stack([o4[:, 0], o4[:, 1], o4[:, 2], o4[:, 3],
-                      d4[:, 0], d4[:, 1], d4[:, 2], d4[:, 3]], axis=0)
-    rays = rays.reshape(8, nt, rt).transpose(1, 0, 2)     # [nt, 8, rt]
-    tm = tmax_col.reshape(nt, 1, rt)
-
-    kernel = partial(_trace_kernel_rol4, rt=rt, fc=fc, pk=pk,
-                     n_fine=n_fine, any_hit=any_hit)
-    t, i = pl.pallas_call(
-        kernel,
-        grid=(nt,),
-        in_specs=[
-            pl.BlockSpec((1, 8, rt), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nfc_pad, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nfc_pad, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nt, 1, rt), jnp.float32),
-            jax.ShapeDtypeStruct((nt, 1, rt), jnp.int32),
-        ],
-        scratch_shapes=[pltpu.VMEM((pk * fc, 12), jnp.float32)],
-        interpret=interpret,
-    )(rays, tm, order, cons, txy_t, fine_boxes)
-    return t.reshape(b, 1), i.reshape(b, 1)
-
 
 @partial(jax.jit, static_argnames=("scene_static", "any_hit", "ray_tile",
                                    "interpret"))
@@ -1996,46 +1283,24 @@ ROL = flags.env_bool("ROL", True)
 ROL_TILE = flags.env_int("ROL_TILE", 512)
 
 
-ROL_V = flags.env("ROL_V", "1")
-RESOLVE_V = flags.env("RESOLVE_V", "5")
 
 
 def _dispatch_trace(o4, d4, tmax_col, scene, any_hit, ray_tile, interpret):
     """Select the trace kernel: two-level supercluster (large scenes),
-    rays-on-lanes (ROL) or rays-on-sublanes."""
+    rays-on-lanes (ROL) or rays-on-sublanes.
+
+    The rol2 (resident), rol3 (sub-block), rol4 (packed-fine) and sc3
+    (supercluster sub-block) generations were sweep-measured in rounds
+    3-5 and DELETED per the delete-don't-park rule — rol_v=1 won every
+    e2e (16.34 vs 15.08/12.69 Mrays/s, PERF.md round-5 sweep table) and
+    SC_SUB=0 won both big-scene entries."""
     sc_threshold = flags.env_int("SC_THRESHOLD", SC_THRESHOLD)
     if ROL and scene.sc_box is not None and scene.t12 is not None \
             and scene.n_clusters > sc_threshold and not interpret:
-        if flags.env_bool("SC_SUB", False) \
-                and scene.sub_box is not None:
-            return _trace_rol_sc3(
-                o4, d4, tmax_col, scene.t12, scene.cluster_box,
-                scene.sub_box, scene.sc_box,
-                (scene.n_superclusters, scene.cluster_size),
-                any_hit, ROL_TILE, interpret)
         return _trace_rol_sc(o4, d4, tmax_col, scene.t12, scene.cluster_box,
                              scene.sc_box,
                              (scene.n_superclusters, scene.cluster_size),
                              any_hit, ROL_TILE, interpret)
-    if ROL and scene.fine_box is not None and scene.txy_t is not None \
-            and not interpret and ROL_V == "4" \
-            and scene.txy_t.size * 4 <= (12 << 20):
-        pk = flags.env_int("PACK", 4)
-        coarse = scene.cluster_box \
-            if flags.env_bool("ROL4_COARSE", False) else None
-        return _trace_rol4(o4, d4, tmax_col, scene.txy_t, scene.fine_box,
-                           (scene.fine_box.shape[0], FINE_SIZE, pk),
-                           any_hit, ROL_TILE, interpret,
-                           coarse_boxes=coarse)
-    if ROL and scene.sub_box is not None and not interpret and ROL_V == "3":
-        return _trace_rol3(o4, d4, tmax_col, scene.t12, scene.cluster_box,
-                           scene.sub_box,
-                           (scene.n_clusters, scene.cluster_size),
-                           any_hit, ROL_TILE, interpret)
-    if ROL and scene.txy_t is not None and not interpret and ROL_V == "2":
-        return _trace_rol2(o4, d4, tmax_col, scene.txy_t, scene.cluster_box,
-                           (scene.n_clusters, scene.cluster_size),
-                           any_hit, ROL_TILE, interpret)
     if ROL and scene.t12 is not None and not interpret:
         return _trace_rol(o4, d4, tmax_col, scene.t12, scene.cluster_box,
                           (scene.n_clusters, scene.cluster_size),
@@ -2078,33 +1343,6 @@ def _sort_key(o4, d4, lo, hi):
     qd = jnp.clip((d * 0.5 + 0.5) * 127.0, 0.0, 127.0).astype(jnp.int32)
     minor = (qd[:, 0] << 14) | (qd[:, 1] << 7) | qd[:, 2]
     return (oct_ << 15) | morton, minor
-
-
-def _sort_key_balanced(o4, d4, lo, hi):
-    """Origin/direction-interleaved key: oct(3) | morton_hi(6) |
-    coarse-dir(6: 2b/axis) | morton_lo(9); minor = fine direction.
-    Gives direction a say before fine origin position — divergent
-    bounce-ray tiles otherwise share a cell but spray directions,
-    which makes the tile's conservative slab intervals vacuous."""
-    d = d4[:, 0:3]
-    o = o4[:, 0:3]
-    oct_ = ((d[:, 0] < 0).astype(jnp.int32)
-            | ((d[:, 1] < 0).astype(jnp.int32) << 1)
-            | ((d[:, 2] < 0).astype(jnp.int32) << 2))
-    ext = jnp.maximum(hi - lo, 1e-30)
-    qo = jnp.clip((o - lo[None, :]) / ext[None, :] * 31.0, 0.0, 31.0)
-    qo = qo.astype(jnp.int32)
-    morton = (_morton5(qo[:, 0]) | (_morton5(qo[:, 1]) << 1)
-              | (_morton5(qo[:, 2]) << 2))
-    mor_hi = morton >> 9                    # top 6 interleaved bits
-    mor_lo = morton & 0x1FF
-    ad = jnp.abs(d)
-    qd2 = jnp.clip(ad * 3.999, 0.0, 3.0).astype(jnp.int32)   # 2b/axis
-    dir6 = (qd2[:, 0] << 4) | (qd2[:, 1] << 2) | qd2[:, 2]
-    qd = jnp.clip((d * 0.5 + 0.5) * 127.0, 0.0, 127.0).astype(jnp.int32)
-    minor = (qd[:, 0] << 14) | (qd[:, 1] << 7) | qd[:, 2]
-    major = (((oct_ << 6 | mor_hi) << 6 | dir6) << 9) | mor_lo
-    return major, minor
 
 
 def _exit_clamp(o4, d4, tmax_col, lo, hi):
@@ -2158,15 +1396,10 @@ def _sorted_trace(o4, d4, tmax_col, scene, any_hit, ray_tile, interpret):
                                ray_tile, interpret)
         t_out = jnp.where(i[:, 0] >= 0, t[:, 0], F32_MAX)
         return t_out.reshape(b, 1), i
-    if key_mode == "dir":
-        q = jnp.clip((d4[:, 0:3] * 0.5 + 0.5) * 127.0,
-                     0.0, 127.0).astype(jnp.int32)
-        kmaj = (q[:, 0] << 14) | (q[:, 1] << 7) | q[:, 2]
-        kmin = jnp.zeros_like(kmaj)
-    elif key_mode == "bal":
-        kmaj, kmin = _sort_key_balanced(o4, d4, lo, hi)
-    else:
-        kmaj, kmin = _sort_key(o4, d4, lo, hi)
+    # the "dir" and "bal" key variants were sweep losers (never beat the
+    # oct|morton key in any round-3/4 measurement) and are deleted per
+    # the delete-don't-park rule; "oct" and "none" are the measured space
+    kmaj, kmin = _sort_key(o4, d4, lo, hi)
     # padding rows (and degenerate tmax<=0 rays) sort to the end so they
     # cannot pollute real tiles' conservative bounds. For the default key
     # (18-bit major) the two keys pack into ONE 30-bit sort key — each
@@ -2426,122 +1659,6 @@ def _resolve(col, t, o4, d4, txy, attrs, scene_static, ray_tile, interpret):
     )(col, t, o4, d4, txy, attrs)
 
 
-def _winner_lists(col, n_clusters, tc, rt):
-    """Per-ray-tile lists of the clusters that actually WON a ray in the
-    tile (derived from the trace output, plain JAX). Returns
-    [n_tiles, ncl_pad, 1] int32, -1-terminated. The wavefront pool keeps
-    pixel/path locality (ring raygen + in-place continuations), so tiles
-    average only a handful of distinct winner clusters (~5 measured on
-    egyptcat bounce batches) — the resolve kernel then touches just those."""
-    b = col.shape[0]
-    nt = b // rt
-    inf = jnp.int32(0x7FFFFFFF)
-    cl = jnp.where(col[:, 0] >= 0, col[:, 0] // tc, inf).reshape(nt, rt)
-    scl = jnp.sort(cl, axis=1)
-    # keep first occurrence of each run, push duplicates to the tail
-    first = jnp.concatenate(
-        [jnp.ones((nt, 1), bool), scl[:, 1:] != scl[:, :-1]], axis=1)
-    key = jnp.where(first & (scl != inf), scl, inf)
-    skey = jnp.sort(key, axis=1)
-    ncl_pad = n_clusters + ((-n_clusters) % 8)
-    k = min(rt, ncl_pad)          # distinct winners <= min(rt, n_clusters)
-    order = jnp.where(skey[:, :k] == inf, -1, skey[:, :k])
-    if k < ncl_pad:
-        order = jnp.concatenate(
-            [order, jnp.full((nt, ncl_pad - k), -1, jnp.int32)], axis=1)
-    return order.reshape(nt, ncl_pad, 1)
-
-
-def _resolve_kernel_v2(col_ref, o_ref, d_ref, ord_ref, txy_ref, attr_ref,
-                       out_ref, *, rt, tc, ncl_pad):
-    """Winner-attribute resolve, v2: ONE grid step per ray tile that walks
-    the tile's winner-cluster list (ord_ref) and dynamically slices the
-    RESIDENT transform/attribute tables on sublanes — no per-(tile,cluster)
-    grid sweep, no HBM re-fetch. Work scales with distinct winner clusters
-    per tile (~5) instead of n_clusters (~64-1200).
-
-    Both one-hot products run at HIGHEST precision (exact f32 selection;
-    Mosaic rejects Precision.HIGH) — affordable because the work now
-    scales with winner clusters, not n_clusters."""
-    out_ref[:] = jnp.zeros((rt, ATTR_COLS), jnp.float32)
-    col = col_ref[:]                      # [rt,1] padded winner column
-    O = o_ref[:]
-    D = d_ref[:]
-
-    def cond(carry):
-        slot, stop = carry
-        return (slot < ncl_pad) & ~stop
-
-    def body(carry):
-        slot, _ = carry
-        c = ord_ref[0, slot, 0]
-
-        @pl.when(c >= 0)
-        def _():
-            local = col - c * tc
-            active = (local >= 0) & (local < tc)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (rt, tc), 1)
-            onehot = ((lane == local) & active).astype(jnp.float32)
-            off1 = pl.multiple_of(c * tc, 128)
-            tw = jnp.dot(onehot, txy_ref[pl.ds(off1, tc), :],
-                         preferred_element_type=jnp.float32,
-                         precision=HIGHEST)            # [rt, 12]
-            oz = jnp.sum(O * tw[:, 8:12], axis=1, keepdims=True)
-            dz = jnp.sum(D * tw[:, 8:12], axis=1, keepdims=True)
-            t = -oz / jnp.where(dz == 0.0, 1.0, dz)
-            ox = jnp.sum(O * tw[:, 0:4], axis=1, keepdims=True)
-            dx = jnp.sum(D * tw[:, 0:4], axis=1, keepdims=True)
-            oy = jnp.sum(O * tw[:, 4:8], axis=1, keepdims=True)
-            dy = jnp.sum(D * tw[:, 4:8], axis=1, keepdims=True)
-            u = ox + t * dx
-            v = oy + t * dy
-            w = jnp.concatenate(
-                [onehot * (1.0 - u - v), onehot * u, onehot * v], axis=1)
-            off3 = pl.multiple_of(c * (3 * tc), 128)
-            res = jnp.dot(w, attr_ref[pl.ds(off3, 3 * tc), :],
-                          preferred_element_type=jnp.float32,
-                          precision=HIGHEST)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (rt, ATTR_COLS), 1)
-            amask = active.astype(jnp.float32)
-            res = res + jnp.where(cols == ATTR_HITU, u * amask, 0.0)
-            res = res + jnp.where(cols == ATTR_HITV, v * amask, 0.0)
-            res = res + jnp.where(cols == ATTR_HITT, t * amask, 0.0)
-            out_ref[:] = out_ref[:] + res
-
-        nxt = slot + 1
-        guard = jnp.minimum(nxt, ncl_pad - 1)
-        return nxt, ord_ref[0, guard, 0] < 0
-
-    jax.lax.while_loop(cond, body, (jnp.int32(0), ord_ref[0, 0, 0] < 0))
-
-
-@partial(jax.jit, static_argnames=("scene_static", "ray_tile", "interpret"))
-def _resolve_v2(col, o4, d4, txy, attrs, scene_static, ray_tile, interpret):
-    n_clusters, tc = scene_static
-    rt = ray_tile
-    b = col.shape[0]
-    order = _winner_lists(col, n_clusters, tc, rt)
-    ncl_pad = order.shape[1]
-    kernel = partial(_resolve_kernel_v2, rt=rt, tc=tc, ncl_pad=ncl_pad)
-    return pl.pallas_call(
-        kernel,
-        grid=(b // rt,),
-        in_specs=[
-            pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rt, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rt, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ncl_pad, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # txy resident
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # attrs resident
-        ],
-        out_specs=pl.BlockSpec((rt, ATTR_COLS), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, ATTR_COLS), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_RESOLVE_V2_VMEM_BYTES + (16 << 20)),
-        interpret=interpret,
-    )(col, o4, d4, order, txy, attrs)
 
 
 def _resolve_kernel_v5(colr_ref, rays_ref, tbl_ref, txy_ref, out_ref,
@@ -2819,12 +1936,11 @@ def resolve_hits_mxu(orig: Vec3, d: Vec3, t, col, scene: MXUScene,
     n = col.shape[0]
     o4, d4, _ = _ray_inputs(orig, d, scene, None, ray_tile)
     col2, _ = _pad_rays(col.reshape(n, 1), ray_tile)
-    resolve_v = flags.env("RESOLVE_V", RESOLVE_V)
-    # "3"/"4" were earlier B16-resolve generations (replaced by v5) —
-    # honor them as the B16 path rather than silently falling through to
-    # the f32 fallback, which no longer exists on slim scenes
-    if not interpret and scene.b16t is not None \
-            and resolve_v in ("3", "4", "5"):
+    # production resolve = B16 v5 (VMEM-resident) / v5s (HBM-streamed);
+    # the earlier v1 grid-sweep survives ONLY as the interpret-mode (CPU
+    # test) path, and the v2 winner-list generation was deleted (sweep
+    # loser, round-5 prune — v5 superseded it in every configuration)
+    if not interpret and scene.b16t is not None:
         table_b = scene.b16t.size * 2 + scene.t12b.size * 4
         if table_b <= _RESOLVE_V2_VMEM_BYTES:
             out = _resolve_v5(col2, o4, d4, scene.b16t, scene.t12b,
@@ -2838,14 +1954,7 @@ def resolve_hits_mxu(orig: Vec3, d: Vec3, t, col, scene: MXUScene,
         return out[:, :n]
     assert scene.attrs is not None, \
         "slim MXUScene has only the B16 resolve (f32 attrs dropped): " \
-        "unset FLT_RESOLVE_V=1/2, and rebuild with slim=False for " \
-        "interpret-mode (CPU) debugging"
-    table_bytes = (scene.attrs.size + scene.txy_t.size) * 4
-    if not interpret and table_bytes <= _RESOLVE_V2_VMEM_BYTES:
-        out = _resolve_v2(col2, o4, d4, scene.txy_t, scene.attrs,
-                          (scene.n_clusters, scene.cluster_size), ray_tile,
-                          interpret)
-        return out[:n].T
+        "rebuild with slim=False for interpret-mode (CPU) debugging"
     t2, _ = _pad_rays(t.reshape(n, 1), ray_tile)
     out = _resolve(col2, t2, o4, d4, scene.txy_t, scene.attrs,
                    (scene.n_clusters, scene.cluster_size), ray_tile, interpret)

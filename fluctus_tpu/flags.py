@@ -16,22 +16,19 @@ annotated *import-time* freeze per process (sweeps run fresh processes);
 
 Knob inventory (defaults in parentheses):
 
-  Trace-kernel generation / layout — ``accel/mxu_trace.py``:
+  Trace-kernel generation / layout — ``accel/mxu_trace.py``
+  (round-5 sweep executed the prune plan: rol2/rol3/rol4/sc3 kernel
+  generations, the bal/dir sort keys and the v2 resolve were measured
+  losers and are DELETED — see PERF.md round-5 sweep table; their
+  ROL_V/PACK/FINE_SIZE/ROL4_COARSE/SC_SUB/RESOLVE_V knobs are gone):
     ROL ("1")            rays-on-lanes kernels vs sublane fallback [import]
-    ROL_V ("1")          fine-kernel generation: 1 flat / 2 resident /
-                         3 sub-block / 4 packed-fine (sweep pending) [import]
-    RESOLVE_V ("5")      winner-attr resolve generation [import+call]
     RAY_TILE (512)       rays per Pallas grid row [import]
     ROL_TILE (512)       rays per ROL tile (r2 measured optimum) [import]
-    PACK (4)             sub-slots per packed rol4 visit [call]
-    FINE_SIZE (64)       rol4 fine-cull granularity, tris [import]
-    ROL4_COARSE ("0")    candidate lists at cluster granularity [call]
     SC_CLUSTERS (64)     member clusters per supercluster [import]
     SC_THRESHOLD (96)    cluster count where the 2-level kernel engages
                          [import; call-time override honored at dispatch]
-    SC_SUB ("0")         supercluster in-cluster sub-block culling [call]
     SORT_RAYS ("1")      coherence sort before tiling [import]
-    KEY ("oct")          ext-ray sort key: oct/bal/dir/none [call]
+    KEY ("oct")          ext-ray sort key: oct/none [call]
     KEY_SHADOW (=KEY)    shadow-ray override (occupancy cut needs a sort)
                          [call]
     PAIR_SORT ("0")      ext+shadow share ONE sort/unsort pair (18 sorted

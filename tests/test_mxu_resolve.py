@@ -56,60 +56,11 @@ def test_resolve_matches_gather_reconstruction():
                                   np.asarray(ref.mat_id)[hitm])
     assert (np.asarray(mat2)[~hitm] == -1).all()
 
-def test_resolve_v2_matches_v1():
-    """The winner-list resolve kernel (resident tables, one grid step per
-    tile) must reproduce the grid-sweep kernel bit-for-bit-ish."""
-    from fluctus_tpu.accel import mxu_trace as mt
-    s = Scene()
-    s.load_model("/root/reference/assets/teapot.ply")
-    p, nrm, uv, mid = s.triangle_arrays()
-    bvh = build_bvh(p)
-    mxu = MXUScene.build(p, bvh, cluster_size=256, normals=nrm, uvs=uv,
-                         mat_ids=mid, materials=s.materials)
-
-    rng = np.random.default_rng(7)
-    lo, hi = p.reshape(-1, 3).min(0), p.reshape(-1, 3).max(0)
-    c = (lo + hi) / 2
-    r = np.linalg.norm(hi - lo)
-    o = c + rng.standard_normal((256, 3)) * r
-    tg = lo + rng.random((256, 3)) * (hi - lo)
-    d = tg - o
-    d /= np.linalg.norm(d, axis=1, keepdims=True)
-    ov = Vec3(*[jnp.asarray(o[:, i], jnp.float32) for i in range(3)])
-    dv = Vec3(*[jnp.asarray(d[:, i], jnp.float32) for i in range(3)])
-
-    t, tri, u, v, col = closest_hit_mxu_full(ov, dv, mxu, ray_tile=256,
-                                             interpret=True)
-    assert (np.asarray(tri) >= 0).sum() > 50
-    n = col.shape[0]
-    o4, d4, _ = mt._ray_inputs(ov, dv, mxu, None, 256)
-    col2, _ = mt._pad_rays(col.reshape(n, 1), 256)
-    t2, _ = mt._pad_rays(t.reshape(n, 1), 256)
-    v1 = mt._resolve(col2, t2, o4, d4, mxu.txy_t, mxu.attrs,
-                     (mxu.n_clusters, mxu.cluster_size), 256, True)
-    v2 = mt._resolve_v2(col2, o4, d4, mxu.txy_t, mxu.attrs,
-                        (mxu.n_clusters, mxu.cluster_size), 256, True)
-    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
-                               rtol=1e-5, atol=1e-5)
-
-
-def test_winner_lists():
-    from fluctus_tpu.accel.mxu_trace import _winner_lists
-    col = jnp.asarray([[5], [300], [-1], [5], [700], [-1], [5], [260]],
-                      jnp.int32)
-    order = np.asarray(_winner_lists(col, n_clusters=4, tc=256, rt=4))
-    # tile 0: cols 5,300,-1,5 -> clusters {0,1}; tile 1: 700,-1,5,260 -> {0,1,2}
-    assert order.shape[0] == 2
-    t0 = order[0, :, 0].tolist()
-    t1 = order[1, :, 0].tolist()
-    assert t0[:2] == [0, 1] and all(x == -1 for x in t0[2:])
-    assert t1[:3] == [0, 1, 2] and all(x == -1 for x in t1[3:])
-
-
-def test_resolve_v5_matches_v2():
+def test_resolve_v5_matches_v1():
     """The bf16 B16-table rays-on-lanes resolve (SoA [ATTR_COLS, n]
-    output) must agree with the f32 rays-on-sublanes kernels: integer
-    rows exactly, floats to the 16-bit split tolerance."""
+    output) must agree with the f32 grid-sweep kernel (v1, the
+    interpret-mode reference; v2 was pruned round 5): integer rows
+    exactly, floats to the 16-bit split tolerance."""
     from fluctus_tpu.accel import mxu_trace as mt
     s = Scene()
     s.load_model("/root/reference/assets/teapot.ply")
@@ -135,9 +86,10 @@ def test_resolve_v5_matches_v2():
     n = col.shape[0]
     o4, d4, _ = mt._ray_inputs(ov, dv, mxu, None, 256)
     col2, _ = mt._pad_rays(col.reshape(n, 1), 256)
-    v2 = np.asarray(mt._resolve_v2(col2, o4, d4, mxu.txy_t, mxu.attrs,
-                                   (mxu.n_clusters, mxu.cluster_size), 256,
-                                   True))
+    t2, _ = mt._pad_rays(t.reshape(n, 1), 256)
+    v2 = np.asarray(mt._resolve(col2, t2, o4, d4, mxu.txy_t, mxu.attrs,
+                                (mxu.n_clusters, mxu.cluster_size), 256,
+                                True))
     assert mxu.b16t is not None
     v5 = np.asarray(mt._resolve_v5(col2, o4, d4, mxu.b16t, mxu.t12b,
                                    (mxu.n_clusters, mxu.cluster_size), 256,
@@ -171,7 +123,9 @@ def test_slim_build_trims_dead_tables():
     assert mxu.b16t is not None and mxu.t12 is not None
     assert mxu.t12b is not None and mxu.cluster_box is not None
     # teapot's txy_t is under the rol residency gate -> kept
-    assert mxu.txy_t is not None and mxu.fine_box is not None
+    assert mxu.txy_t is not None
+    # sub/fine boxes fed the pruned rol3/rol4 generations -> never built
+    assert mxu.fine_box is None and mxu.sub_box is None
 
 
 def test_resolve_v5s_matches_v5():

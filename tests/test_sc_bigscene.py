@@ -59,36 +59,3 @@ def test_supercluster_parity_320k(bigscene):
     terr = np.abs(np.asarray(t_sc).reshape(-1)[both] - t_b[both]) \
         / np.maximum(t_b[both], 1e-6)
     assert terr.max() < 1e-3
-
-
-def test_supercluster_subblock_parity_320k(bigscene):
-    """FLT_SC_SUB variant: supercluster sweep with in-cluster 128-tri
-    sub-block culling must match the bitstack traversal too."""
-    p, n, t, m, bvh, mxu = bigscene
-    rng = np.random.default_rng(2)
-    cnt = 512
-    lo, hi = p.reshape(-1, 3).min(0), p.reshape(-1, 3).max(0)
-    o = (lo + hi) / 2 + rng.standard_normal((cnt, 3)) \
-        * 0.4 * np.linalg.norm(hi - lo)
-    d = lo + rng.random((cnt, 3)) * (hi - lo) - o
-    d /= np.linalg.norm(d, axis=1, keepdims=True)
-    oc = o - np.asarray(mxu.center)
-    o4 = jnp.asarray(np.concatenate([oc, np.ones((cnt, 1))], 1), jnp.float32)
-    d4 = jnp.asarray(np.concatenate([d, np.zeros((cnt, 1))], 1), jnp.float32)
-    tm = jnp.full((cnt, 1), 3.4e38, jnp.float32)
-    t3, i3 = mt._trace_rol_sc3(o4, d4, tm, mxu.t12, mxu.cluster_box,
-                               mxu.sub_box, mxu.sc_box,
-                               (mxu.n_superclusters, mxu.cluster_size),
-                               False, 512, True)
-    cols = np.asarray(i3).reshape(-1)
-    tri3 = np.where(cols >= 0,
-                    np.asarray(mxu.tri_map)[np.maximum(cols, 0)], -1)
-    t_b, tri_b, _, _ = closest_hit(
-        Vec3(*[jnp.asarray(o[:, i], jnp.float32) for i in range(3)]),
-        Vec3(*[jnp.asarray(d[:, i], jnp.float32) for i in range(3)]),
-        TrianglesDevice.from_arrays(p, n, t, m), BVHDevice.from_host(bvh))
-    tri_b = np.asarray(tri_b)
-    hit3, hitb = tri3 >= 0, np.asarray(tri_b) >= 0
-    assert (hit3 == hitb).mean() > 0.998
-    both = hit3 & hitb
-    assert (tri3[both] == tri_b[both]).mean() > 0.995
