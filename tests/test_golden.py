@@ -37,6 +37,12 @@ def _cases():
 @pytest.mark.parametrize("case", _cases(), ids=lambda c: c[0])
 def test_golden_rmse(case):
     name, scene_file, env, settings, mutate = case
+    if name == "full_zoo":
+        # 521k-tri scene: the CPU re-render is minutes, not seconds. Its
+        # golden gate runs on TPU (tools/make_goldens.py --check, driven
+        # by the sweep); the CPU-side zoo coverage is
+        # test_material_overrides.py::test_tiny_zoo_renders.
+        pytest.skip("full_zoo golden is gated on TPU (--check)")
     path = os.path.join(GDIR, f"{name}.npz")
     if not os.path.exists(path):
         pytest.skip(f"golden {name} not generated yet")

@@ -59,6 +59,11 @@ def _build(case, wf_buffer=8192):
 
 @pytest.mark.parametrize("case", _cases(), ids=lambda c: c[0])
 def test_wf_vs_mk(case):
+    if case[0] == "full_zoo":
+        # 521k tris: CPU re-render is minutes per integrator. Its
+        # wf-vs-mk gate runs on TPU via tools/check_zoo_parity.py
+        # (sweep section); CPU zoo coverage is test_tiny_zoo_renders.
+        pytest.skip("full_zoo parity is gated on TPU (check_zoo_parity)")
     r = _build(case)
     r.render_single_wavefront(spp=SPP)
     img_wf = r.hdr_image()

@@ -87,6 +87,18 @@ is_done zoo_r5 || {
 # 3. per-op profile under the pair-sort winner (decided by 1)
 step profile_r5_pair 1800 env FLT_PAIR_SORT=1 python tools/profile_wf.py
 
+# 4. full_zoo golden + cross-integrator parity (verdict item 4 done-bar)
+step golden_fullzoo 2400 python tools/make_goldens.py --only full_zoo
+step zoo_parity     2400 python tools/check_zoo_parity.py
+is_done golden_fullzoo && {
+  git add tests/goldens 2>/dev/null
+  git commit -q -m "full_zoo 256-spp TPU golden" 2>/dev/null || true
+}
+
+# 5. goldens re-check on the pruned tree (the 17:11 mid-prune egyptcat
+# FAIL needs a clean-tree verdict; cheap — reuses cached compiles)
+step goldens_check_r5 2400 python tools/make_goldens.py --check
+
 echo "R5 SWEEP DONE $(date)" | tee -a $LOG
 git add data/sweep_logs data/bench_last_good.json 2>/dev/null
 git commit -q -m "TPU sweep evidence: round-5 pair-sort A/B + re-measured big/zoo entries" 2>/dev/null || true
