@@ -64,6 +64,10 @@ step() {
   if [ "$rc" -eq 0 ]; then mark_done "$name"; else bail_if_wedged; fi
 }
 
+# 0. permutation-machinery microbench (cheapest, decides the next sort
+# redesign: sort-carry vs stacked row-gather — PERF.md round-5 profile)
+step perm_bench 1200 python tools/bench_perm.py
+
 # 1. pair-sort A/B (identical settings, one flag)
 e2e e2e_r5_base      2400
 e2e e2e_r5_pairsort  2400 FLT_PAIR_SORT=1
