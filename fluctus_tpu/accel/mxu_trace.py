@@ -1345,6 +1345,35 @@ def _sort_key(o4, d4, lo, hi):
     return (oct_ << 15) | morton, minor
 
 
+def _perm_apply(perm, cols):
+    """Apply a row permutation to f32 columns with ONE stacked [n,k]
+    row-gather instead of carrying each column through the sort network
+    (``FLT_PERM=gather``). The round-5 profile shows each carried sort
+    operand staging HBM<->S(1) at ~4.5 ms per f32[1M]; a single stacked
+    gather moves the same bytes once. tools/bench_perm.py measures the
+    two machineries head-to-head on hardware."""
+    g = jnp.take(jnp.stack(cols, axis=1), perm, axis=0)
+    return [g[:, k] for k in range(len(cols))]
+
+
+def _perm_invert(sidx):
+    """inv[sidx[j]] = j — the unsort permutation, via one int32 scatter
+    (unique indices; no accumulation)."""
+    n = sidx.shape[0]
+    return jnp.zeros(n, jnp.int32).at[sidx].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True)
+
+
+def _perm_unsort2(sidx, t_col, i_col):
+    """Restore (t f32, i int32) to original ray order with one stacked
+    gather by the inverse permutation (int column rides as a bitcast —
+    gathers move bits, not values)."""
+    i_f = jax.lax.bitcast_convert_type(i_col, jnp.float32)
+    g = jnp.take(jnp.stack([t_col, i_f], axis=1), _perm_invert(sidx),
+                 axis=0)
+    return g[:, 0], jax.lax.bitcast_convert_type(g[:, 1], jnp.int32)
+
+
 def _exit_clamp(o4, d4, tmax_col, lo, hi):
     """Clamp each ray's tmax to its exit distance from the scene root AABB
     (with a safety margin): nothing can be hit beyond it, so (a) rays that
@@ -1406,25 +1435,42 @@ def _sorted_trace(o4, d4, tmax_col, scene, any_hit, ray_tile, interpret):
     # operand of a multi-payload lax.sort is an offload-staged column, so
     # fewer operands is a direct win.
     idx = jnp.arange(b, dtype=jnp.int32)
+    perm_gather = flags.env("PERM", "sort") == "gather"
     if key_mode == "oct" and not any_hit:
         # shadow (any-hit) rays keep the full 2-key sort: their direction
         # coherence is what makes occlusion tiles cheap, and the packed
         # key drops the z-direction bits (measured 55 -> 75 ms)
         skey = (kmaj << 12) | (kmin >> 9)
         skey = jnp.where(tmax_col[:, 0] <= 0.0, jnp.int32(0x7FFFFFFF), skey)
-        ops = (skey, idx, o4[:, 0], o4[:, 1], o4[:, 2],
-               d4[:, 0], d4[:, 1], d4[:, 2])
-        if not const_tmax:
-            ops = ops + (tmax_col[:, 0],)
-        srt = jax.lax.sort(ops, num_keys=1)
-        sidx, ox, oy, oz, dx, dy, dz = srt[1:8]
-        tm = srt[8] if not const_tmax else None
+        if perm_gather:
+            _, sidx = jax.lax.sort((skey, idx), num_keys=1)
+            cols = [o4[:, 0], o4[:, 1], o4[:, 2],
+                    d4[:, 0], d4[:, 1], d4[:, 2]]
+            if not const_tmax:
+                cols.append(tmax_col[:, 0])
+            g = _perm_apply(sidx, cols)
+            ox, oy, oz, dx, dy, dz = g[:6]
+            tm = g[6] if not const_tmax else None
+        else:
+            ops = (skey, idx, o4[:, 0], o4[:, 1], o4[:, 2],
+                   d4[:, 0], d4[:, 1], d4[:, 2])
+            if not const_tmax:
+                ops = ops + (tmax_col[:, 0],)
+            srt = jax.lax.sort(ops, num_keys=1)
+            sidx, ox, oy, oz, dx, dy, dz = srt[1:8]
+            tm = srt[8] if not const_tmax else None
     else:
         kmaj = jnp.where(tmax_col[:, 0] <= 0.0, jnp.int32(0x7FFFFFFF), kmaj)
-        ops = (kmaj, kmin, idx, o4[:, 0], o4[:, 1], o4[:, 2],
-               d4[:, 0], d4[:, 1], d4[:, 2], tmax_col[:, 0])
-        srt = jax.lax.sort(ops, num_keys=2)
-        _, _, sidx, ox, oy, oz, dx, dy, dz, tm = srt
+        if perm_gather:
+            _, _, sidx = jax.lax.sort((kmaj, kmin, idx), num_keys=2)
+            ox, oy, oz, dx, dy, dz, tm = _perm_apply(
+                sidx, [o4[:, 0], o4[:, 1], o4[:, 2],
+                       d4[:, 0], d4[:, 1], d4[:, 2], tmax_col[:, 0]])
+        else:
+            ops = (kmaj, kmin, idx, o4[:, 0], o4[:, 1], o4[:, 2],
+                   d4[:, 0], d4[:, 1], d4[:, 2], tmax_col[:, 0])
+            srt = jax.lax.sort(ops, num_keys=2)
+            _, _, sidx, ox, oy, oz, dx, dy, dz, tm = srt
     o4s = jnp.stack([ox, oy, oz, jnp.ones(b)], axis=1)
     d4s = jnp.stack([dx, dy, dz, jnp.zeros(b)], axis=1)
     if tm is None:
@@ -1432,8 +1478,12 @@ def _sorted_trace(o4, d4, tmax_col, scene, any_hit, ray_tile, interpret):
                          jnp.full((b, 1), F32_MAX, jnp.float32), lo, hi)[:, 0]
     t, i = _dispatch_trace(o4s, d4s, tm.reshape(b, 1), scene, any_hit,
                            ray_tile, interpret)
-    # restore original order: sort by the carried original index
-    _, t_out, i_out = jax.lax.sort((sidx, t[:, 0], i[:, 0]), num_keys=1)
+    # restore original order: sort by the carried original index, or
+    # gather by the inverse permutation (FLT_PERM=gather)
+    if perm_gather:
+        t_out, i_out = _perm_unsort2(sidx, t[:, 0], i[:, 0])
+    else:
+        _, t_out, i_out = jax.lax.sort((sidx, t[:, 0], i[:, 0]), num_keys=1)
     t_out = jnp.where(i_out >= 0, t_out, F32_MAX)
     return t_out.reshape(b, 1), i_out.reshape(b, 1)
 
@@ -1471,13 +1521,22 @@ def _sorted_trace_pair(eo4, ed4, so4, sd4, sh_tmax_col, scene, ray_tile,
                       lo, hi)
     skey = jnp.where(etm[:, 0] <= 0.0, jnp.int32(0x7FFFFFFF), skey)
     idx = jnp.arange(b, dtype=jnp.int32)
-    srt = jax.lax.sort(
-        (skey, idx, eo4[:, 0], eo4[:, 1], eo4[:, 2],
-         ed4[:, 0], ed4[:, 1], ed4[:, 2],
-         so4[:, 0], so4[:, 1], so4[:, 2],
-         sd4[:, 0], sd4[:, 1], sd4[:, 2], sh_tm[:, 0]),
-        num_keys=1)
-    sidx = srt[1]
+    if flags.env("PERM", "sort") == "gather":
+        _, sidx = jax.lax.sort((skey, idx), num_keys=1)
+        srt2 = _perm_apply(sidx, [
+            eo4[:, 0], eo4[:, 1], eo4[:, 2],
+            ed4[:, 0], ed4[:, 1], ed4[:, 2],
+            so4[:, 0], so4[:, 1], so4[:, 2],
+            sd4[:, 0], sd4[:, 1], sd4[:, 2], sh_tm[:, 0]])
+        srt = [None, sidx] + srt2
+    else:
+        srt = jax.lax.sort(
+            (skey, idx, eo4[:, 0], eo4[:, 1], eo4[:, 2],
+             ed4[:, 0], ed4[:, 1], ed4[:, 2],
+             so4[:, 0], so4[:, 1], so4[:, 2],
+             sd4[:, 0], sd4[:, 1], sd4[:, 2], sh_tm[:, 0]),
+            num_keys=1)
+        sidx = srt[1]
     ones = jnp.ones(b, jnp.float32)
     zeros = jnp.zeros(b, jnp.float32)
     eo4s = jnp.stack([srt[2], srt[3], srt[4], ones], axis=1)
@@ -1495,7 +1554,11 @@ def _sorted_trace_pair(eo4, ed4, so4, sd4, sh_tmax_col, scene, ray_tile,
     # non-negative so the occlusion verdict can ride bit 30 of one column
     packed = (i_e[:, 0] + 1) | jnp.where(i_s[:, 0] >= 0,
                                          jnp.int32(1 << 30), jnp.int32(0))
-    _, t_out, p_out = jax.lax.sort((sidx, t_e[:, 0], packed), num_keys=1)
+    if flags.env("PERM", "sort") == "gather":
+        t_out, p_out = _perm_unsort2(sidx, t_e[:, 0], packed)
+    else:
+        _, t_out, p_out = jax.lax.sort((sidx, t_e[:, 0], packed),
+                                       num_keys=1)
     occ = (p_out >> 30) > 0
     col = (p_out & ((1 << 30) - 1)) - 1
     t_out = jnp.where(col >= 0, t_out, F32_MAX)

@@ -31,6 +31,13 @@ Knob inventory (defaults in parentheses):
     KEY ("oct")          ext-ray sort key: oct/none [call]
     KEY_SHADOW (=KEY)    shadow-ray override (occupancy cut needs a sort)
                          [call]
+    PERM ("sort")        permutation machinery: "sort" carries payload
+                         columns through lax.sort; "gather" sorts only
+                         (key, idx) and applies ONE stacked row-gather +
+                         inverse-perm unsort (bit-identical results —
+                         test_pair_sort.py::test_perm_gather_matches_sort;
+                         hardware A/B: tools/bench_perm.py + r5 sweep)
+                         [call]
     PAIR_SORT ("0")      ext+shadow share ONE sort/unsort pair (18 sorted
                          columns in 2 programs vs 24 in 4; shadow rides
                          the ext order — sweep pending) [call]

@@ -101,3 +101,45 @@ def test_pair_wf_phase_dispatch(monkeypatch):
         pytest.skip("FLT_SORT_RAYS=0")
     wf.wf_trace_phase(FakeScene(), FakePool(), FakeParams(), FakeCfg())
     assert called.get("pair")
+
+
+def test_perm_gather_matches_sort(teapot, monkeypatch):
+    """FLT_PERM=gather (2-operand key sort + one stacked row-gather +
+    inverse-permutation unsort) must return exactly what the payload-
+    carry sort machinery returns: the permutation may differ on
+    duplicate keys, but every cull is conservative, so winners / t /
+    occlusion verdicts are identical (same invariant as the pair test
+    above). Covers all three sites: ext 1-key sort, shadow 2-key sort,
+    and the shared pair sort."""
+    p, mxu = teapot
+    n = 640
+    eo, ed = _rays(p, n, seed=4)
+    so, sd = _rays(p, n, seed=5)
+    rng = np.random.default_rng(6)
+    stm = jnp.asarray(
+        np.where(rng.random(n) < 0.33, 0.0,
+                 rng.random(n).astype(np.float32) * 50.0 + 0.1),
+        jnp.float32)
+
+    eo4, ed4, _ = mt._ray_inputs(eo, ed, mxu, None, 256)
+    so4, sd4, stm_col = mt._ray_inputs(so, sd, mxu, stm, 256)
+
+    monkeypatch.delenv("FLT_PERM", raising=False)
+    t_e0, c_e0 = mt._sorted_trace(eo4, ed4, None, mxu, False, 256, True)
+    _, i_s0 = mt._sorted_trace(so4, sd4, stm_col, mxu, True, 256, True)
+    tp0, cp0, op0 = mt.trace_pair_mxu(eo, ed, so, sd, stm, mxu,
+                                      ray_tile=256, interpret=True)
+
+    monkeypatch.setenv("FLT_PERM", "gather")
+    t_e1, c_e1 = mt._sorted_trace(eo4, ed4, None, mxu, False, 256, True)
+    _, i_s1 = mt._sorted_trace(so4, sd4, stm_col, mxu, True, 256, True)
+    tp1, cp1, op1 = mt.trace_pair_mxu(eo, ed, so, sd, stm, mxu,
+                                      ray_tile=256, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(t_e0), np.asarray(t_e1))
+    np.testing.assert_array_equal(np.asarray(c_e0), np.asarray(c_e1))
+    np.testing.assert_array_equal(np.asarray(i_s0) >= 0,
+                                  np.asarray(i_s1) >= 0)
+    np.testing.assert_array_equal(np.asarray(tp0), np.asarray(tp1))
+    np.testing.assert_array_equal(np.asarray(cp0), np.asarray(cp1))
+    np.testing.assert_array_equal(np.asarray(op0), np.asarray(op1))

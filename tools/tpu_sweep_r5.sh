@@ -68,9 +68,11 @@ step() {
 # redesign: sort-carry vs stacked row-gather — PERF.md round-5 profile)
 step perm_bench 1200 python tools/bench_perm.py
 
-# 1. pair-sort A/B (identical settings, one flag)
-e2e e2e_r5_base      2400
-e2e e2e_r5_pairsort  2400 FLT_PAIR_SORT=1
+# 1. pair-sort / perm-machinery A/Bs (identical settings, one flag each)
+e2e e2e_r5_base        2400
+e2e e2e_r5_pairsort    2400 FLT_PAIR_SORT=1
+e2e e2e_r5_permgather  2400 FLT_PERM=gather
+e2e e2e_r5_pair_gather 2400 FLT_PAIR_SORT=1 FLT_PERM=gather
 
 # 2. re-measure the timing-artifact entries (big 481k, full zoo)
 is_done big_r5_481k || {
