@@ -158,6 +158,17 @@ def wf_reset(config: RenderConfig, num_tasks: int, world_radius=1.0) -> WfState:
         # groups > pixels, non-GB-multiple group counts) — wf_reset is
         # the single entry point every pool passes through
         config.block_plan(num_tasks)
+    # FLT_SEED_SALT: statistically independent replica render, used by
+    # tools/make_goldens.py --floor to MEASURE each milestone's
+    # independent-render noise floor (the quantity the golden gates must
+    # sit at <= 1.3x of). salt=0 (default) keeps the reference's
+    # seed-equals-gid init bit-exactly (wf_reset.cl).
+    salt = flags.env_int("SEED_SALT", 0)
+    seed0 = jnp.arange(n, dtype=jnp.uint32)
+    if salt:
+        from ..rng import burtle_hash
+        seed0 = burtle_hash(seed0 ^ jnp.uint32((salt * 0x9E3779B9)
+                                               & 0xFFFFFFFF))
     z = jnp.zeros(n, jnp.float32)
     pool = WfPool(
         orig=Vec3(z, z, z), dir=Vec3(z, z, jnp.ones(n)),
@@ -167,7 +178,7 @@ def wf_reset(config: RenderConfig, num_tasks: int, world_radius=1.0) -> WfState:
         last_T=Vec3.zeros(n),
         last_pdf_w=jnp.ones(n, jnp.float32),
         path_len=jnp.full(n, -1, jnp.int32),
-        seed=jnp.arange(n, dtype=jnp.uint32),
+        seed=seed0,
         last_specular=jnp.ones(n, bool),
         shadow_blocked=jnp.ones(n, bool),
         shadow_pending=jnp.zeros(n, bool),

@@ -85,3 +85,25 @@ def test_exclusive_rank_matches_cumsum():
     r2, t2 = _rank_rows(jnp.asarray(m2), False)
     assert np.array_equal(np.asarray(r2), np.cumsum(m2, 1) - m2)
     assert np.array_equal(np.asarray(t2), m2.sum(1))
+
+
+def test_seed_salt_reset(monkeypatch):
+    """FLT_SEED_SALT=0 (default) must keep the reference seed-equals-gid
+    init bit-exactly (wf_reset.cl); salt!=0 produces a decorrelated but
+    deterministic replica stream (the noise-floor measurement knob used
+    by tools/make_goldens.py --floor / --rebaseline)."""
+    from fluctus_tpu.geom import RenderConfig
+    cfg = RenderConfig(width=16, height=16)
+    monkeypatch.delenv("FLT_SEED_SALT", raising=False)
+    base = np.asarray(wf_reset(cfg, 256).pool.seed)
+    assert np.array_equal(base, np.arange(256, dtype=np.uint32))
+    monkeypatch.setenv("FLT_SEED_SALT", "0")
+    assert np.array_equal(np.asarray(wf_reset(cfg, 256).pool.seed), base)
+    monkeypatch.setenv("FLT_SEED_SALT", "1")
+    s1 = np.asarray(wf_reset(cfg, 256).pool.seed)
+    monkeypatch.setenv("FLT_SEED_SALT", "2")
+    s2 = np.asarray(wf_reset(cfg, 256).pool.seed)  # >uint32 product: masked
+    assert not np.array_equal(s1, base)
+    assert not np.array_equal(s1, s2)
+    # replicas are reproducible
+    assert np.array_equal(s2, np.asarray(wf_reset(cfg, 256).pool.seed))

@@ -22,7 +22,7 @@ say() { echo "=== $(date +%H:%M:%S) $*" | tee -a $LOG; }
 is_done() { grep -qx "$1" $DONE; }
 mark_done() {
   echo "$1" >> $DONE
-  git add data/sweep_logs data/bench_last_good.json 2>/dev/null
+  git add data/sweep_logs data/bench_last_good.json tests/goldens 2>/dev/null
   git commit -q -m "TPU sweep evidence: section $1" 2>/dev/null || true
 }
 probe_tpu() {
@@ -103,7 +103,7 @@ is_done golden_fullzoo && {
 
 # 5. goldens re-check on the pruned tree (the 17:11 mid-prune egyptcat
 # FAIL needs a clean-tree verdict; cheap — reuses cached compiles)
-step goldens_check_r5 2400 python tools/make_goldens.py --check
+step goldens_check_r5 3600 python tools/make_goldens.py --check --rebaseline
 
 echo "R5 SWEEP DONE $(date)" | tee -a $LOG
 git add data/sweep_logs data/bench_last_good.json 2>/dev/null
