@@ -101,7 +101,14 @@ is_done golden_fullzoo && {
   git commit -q -m "full_zoo 256-spp TPU golden" 2>/dev/null || true
 }
 
-# 5. goldens re-check on the pruned tree (the 17:11 mid-prune egyptcat
+# 5. measure the remaining milestones' independent-render noise floors
+# (VERDICT item 6 done-bar: every gate <= 1.3x its measured floor —
+# egyptcat's landed with the rebaseline; these TIGHTEN the low-noise
+# scenes below the 1e-2 default). full_zoo floor deferred: 2x256spp of
+# 622k tris; its bias gate is zoo_parity.
+step golden_floors 5400 bash -c 'for s in teapot_diffuse teapot_dielectric gold_rings luxball; do python tools/make_goldens.py --floor --only $s || exit 1; done'
+
+# 6. goldens re-check on the pruned tree (the 17:11 mid-prune egyptcat
 # FAIL needs a clean-tree verdict; cheap — reuses cached compiles)
 step goldens_check_r5 3600 python tools/make_goldens.py --check --rebaseline
 
