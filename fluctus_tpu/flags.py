@@ -61,6 +61,10 @@ Knob inventory (defaults in parentheses):
     FORCE_CPU ("0")      CLI: jax.config.update("jax_platforms","cpu")
                          before first backend use (wedge-safe, PERF.md)
     MULTIHOST ("0")      enable jax.distributed init (parallel/distributed)
+    SEED_SALT (0)        decorrelated replica RNG stream for noise-floor
+                         measurement (wf_reset; 0 = reference seed=gid
+                         bit-exactly; used by make_goldens --floor /
+                         --rebaseline) [call]
 """
 
 from __future__ import annotations
