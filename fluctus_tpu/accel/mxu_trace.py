@@ -1346,12 +1346,17 @@ def _sort_key(o4, d4, lo, hi):
 
 
 def _perm_apply(perm, cols):
-    """Apply a row permutation to f32 columns with ONE stacked [n,k]
-    row-gather instead of carrying each column through the sort network
-    (``FLT_PERM=gather``). The round-5 profile shows each carried sort
-    operand staging HBM<->S(1) at ~4.5 ms per f32[1M]; a single stacked
-    gather moves the same bytes once. tools/bench_perm.py measures the
-    two machineries head-to-head on hardware."""
+    """Apply a row permutation to f32 columns instead of carrying each
+    column through the sort network. The round-5 profile shows each
+    carried sort operand staging HBM<->S(1) at ~4.5 ms per f32[1M].
+    Two shapes, A/B'd on hardware by tools/bench_perm.py + the r5 sweep:
+      FLT_PERM=gather   ONE stacked [n,k] row-gather (k pads to 128
+                        lanes on TPU — bandwidth-wasteful but a single
+                        fused op)
+      FLT_PERM=gather1  k independent 1-D takes (no lane padding; k
+                        dispatches)"""
+    if flags.env("PERM", "sort") == "gather1":
+        return [jnp.take(c, perm) for c in cols]
     g = jnp.take(jnp.stack(cols, axis=1), perm, axis=0)
     return [g[:, k] for k in range(len(cols))]
 
@@ -1365,12 +1370,15 @@ def _perm_invert(sidx):
 
 
 def _perm_unsort2(sidx, t_col, i_col):
-    """Restore (t f32, i int32) to original ray order with one stacked
-    gather by the inverse permutation (int column rides as a bitcast —
-    gathers move bits, not values)."""
+    """Restore (t f32, i int32) to original ray order by gathering with
+    the inverse permutation: one stacked gather (``gather``; int column
+    rides as a bitcast — gathers move bits, not values) or two 1-D
+    takes (``gather1``)."""
+    inv = _perm_invert(sidx)
+    if flags.env("PERM", "sort") == "gather1":
+        return jnp.take(t_col, inv), jnp.take(i_col, inv)
     i_f = jax.lax.bitcast_convert_type(i_col, jnp.float32)
-    g = jnp.take(jnp.stack([t_col, i_f], axis=1), _perm_invert(sidx),
-                 axis=0)
+    g = jnp.take(jnp.stack([t_col, i_f], axis=1), inv, axis=0)
     return g[:, 0], jax.lax.bitcast_convert_type(g[:, 1], jnp.int32)
 
 
@@ -1435,7 +1443,7 @@ def _sorted_trace(o4, d4, tmax_col, scene, any_hit, ray_tile, interpret):
     # operand of a multi-payload lax.sort is an offload-staged column, so
     # fewer operands is a direct win.
     idx = jnp.arange(b, dtype=jnp.int32)
-    perm_gather = flags.env("PERM", "sort") == "gather"
+    perm_gather = flags.env("PERM", "sort") in ("gather", "gather1")
     if key_mode == "oct" and not any_hit:
         # shadow (any-hit) rays keep the full 2-key sort: their direction
         # coherence is what makes occlusion tiles cheap, and the packed
@@ -1521,7 +1529,7 @@ def _sorted_trace_pair(eo4, ed4, so4, sd4, sh_tmax_col, scene, ray_tile,
                       lo, hi)
     skey = jnp.where(etm[:, 0] <= 0.0, jnp.int32(0x7FFFFFFF), skey)
     idx = jnp.arange(b, dtype=jnp.int32)
-    if flags.env("PERM", "sort") == "gather":
+    if flags.env("PERM", "sort") in ("gather", "gather1"):
         _, sidx = jax.lax.sort((skey, idx), num_keys=1)
         srt2 = _perm_apply(sidx, [
             eo4[:, 0], eo4[:, 1], eo4[:, 2],
@@ -1554,7 +1562,7 @@ def _sorted_trace_pair(eo4, ed4, so4, sd4, sh_tmax_col, scene, ray_tile,
     # non-negative so the occlusion verdict can ride bit 30 of one column
     packed = (i_e[:, 0] + 1) | jnp.where(i_s[:, 0] >= 0,
                                          jnp.int32(1 << 30), jnp.int32(0))
-    if flags.env("PERM", "sort") == "gather":
+    if flags.env("PERM", "sort") in ("gather", "gather1"):
         t_out, p_out = _perm_unsort2(sidx, t_e[:, 0], packed)
     else:
         _, t_out, p_out = jax.lax.sort((sidx, t_e[:, 0], packed),

@@ -33,10 +33,12 @@ Knob inventory (defaults in parentheses):
                          [call]
     PERM ("sort")        permutation machinery: "sort" carries payload
                          columns through lax.sort; "gather" sorts only
-                         (key, idx) and applies ONE stacked row-gather +
-                         inverse-perm unsort (bit-identical results —
+                         (key, idx) and applies ONE stacked [n,k]
+                         row-gather + inverse-perm unsort (k pads to 128
+                         lanes); "gather1" ditto with k independent 1-D
+                         takes (no lane padding). Bit-identical results —
                          test_pair_sort.py::test_perm_gather_matches_sort;
-                         hardware A/B: tools/bench_perm.py + r5 sweep)
+                         hardware A/B: tools/bench_perm.py + r5 sweep
                          [call]
     PAIR_SORT ("0")      ext+shadow share ONE sort/unsort pair (18 sorted
                          columns in 2 programs vs 24 in 4; shadow rides

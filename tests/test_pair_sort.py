@@ -103,7 +103,8 @@ def test_pair_wf_phase_dispatch(monkeypatch):
     assert called.get("pair")
 
 
-def test_perm_gather_matches_sort(teapot, monkeypatch):
+@pytest.mark.parametrize("mode", ["gather", "gather1"])
+def test_perm_gather_matches_sort(teapot, monkeypatch, mode):
     """FLT_PERM=gather (2-operand key sort + one stacked row-gather +
     inverse-permutation unsort) must return exactly what the payload-
     carry sort machinery returns: the permutation may differ on
@@ -130,7 +131,7 @@ def test_perm_gather_matches_sort(teapot, monkeypatch):
     tp0, cp0, op0 = mt.trace_pair_mxu(eo, ed, so, sd, stm, mxu,
                                       ray_tile=256, interpret=True)
 
-    monkeypatch.setenv("FLT_PERM", "gather")
+    monkeypatch.setenv("FLT_PERM", mode)
     t_e1, c_e1 = mt._sorted_trace(eo4, ed4, None, mxu, False, 256, True)
     _, i_s1 = mt._sorted_trace(so4, sd4, stm_col, mxu, True, 256, True)
     tp1, cp1, op1 = mt.trace_pair_mxu(eo, ed, so, sd, stm, mxu,

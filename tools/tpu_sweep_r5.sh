@@ -72,6 +72,7 @@ step perm_bench 1200 python tools/bench_perm.py
 e2e e2e_r5_base        2400
 e2e e2e_r5_pairsort    2400 FLT_PAIR_SORT=1
 e2e e2e_r5_permgather  2400 FLT_PERM=gather
+e2e e2e_r5_permgather1 2400 FLT_PERM=gather1
 e2e e2e_r5_pair_gather 2400 FLT_PAIR_SORT=1 FLT_PERM=gather
 
 # 2. re-measure the timing-artifact entries (big 481k, full zoo)
