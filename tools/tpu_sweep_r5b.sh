@@ -46,10 +46,41 @@ step() {
   if [ "$rc" -eq 0 ]; then mark_done "$name"; else bail_if_wedged; fi
 }
 
+e2e() {
+  local name=$1 t=$2; shift 2
+  is_done "$name" && { say "skip $name (done)"; return; }
+  say "e2e $name: $*"
+  local out
+  out=$(timeout "$t" env BENCH_BIG=0 BENCH_ZOO=0 BENCH_SEGMENTS=24 "$@" python bench.py 2>/tmp/bench_err_$name.log)
+  echo "$out" | tee -a $LOG
+  if echo "$out" | grep -q '"value": [0-9]' && ! echo "$out" | grep -q '"stale": true'; then
+    mark_done "$name"
+  else
+    tail -6 /tmp/bench_err_$name.log | tee -a $LOG
+    bail_if_wedged
+    say "$name produced no fresh value but TPU probes alive"
+  fi
+}
+
+# 0. VERIFY the 28.21 Mrays/s pair_gather reading (76% over base) with
+# two repeats + a base repeat, all compile-cached now. ±5% run-to-run
+# is normal (PERF.md); a one-off 1.76x is not trusted until repeated.
+e2e e2e_r5_pair_gather_v2 2400 FLT_PAIR_SORT=1 FLT_PERM=gather
+e2e e2e_r5_pair_gather_v3 2400 FLT_PAIR_SORT=1 FLT_PERM=gather
+e2e e2e_r5_base_v2        2400
+
+# 0b. the standalone-gather bench crashed rc=1 (suspected OOM from the
+# 128-lane-padded [1M,k] stacks x2 programs); capture stderr this time
+e2e e2e_r5_permgather_err 2400 FLT_PERM=gather
+
 # 1. per-op profile under the TRUE defaults (decision basis for any
 # remaining shade-phase work: the r5 profile ran under the losing
 # pair-sort config)
 step profile_r5_default 1800 python tools/profile_wf.py
+
+# 1b. per-op profile under the pair_gather candidate (only meaningful
+# if section 0 verified it; cheap either way)
+step profile_r5_pair_gather 1800 env FLT_PAIR_SORT=1 FLT_PERM=gather python tools/profile_wf.py
 
 # 2. final full-length default-flags bench: refreshes
 # data/bench_last_good.json with the shipping config's number
