@@ -65,12 +65,24 @@ def main():
     img_wf = r.hdr_image()
     del r
 
-    r2 = build()
-    r2.render_single(spp=ZOO_SPP)
-    img_mk = r2.hdr_image()
+    # On TPU render_single routes to the exact-spp wavefront unless
+    # FLT_FORCE_MK=1 (renderer.py render_single docstring) — without
+    # the override this tool compared wavefront to wavefront and the
+    # first sweep run printed a vacuous rmse 0.0000. Force the true mk
+    # megastep for the second arm.
+    os.environ["FLT_FORCE_MK"] = "1"
+    try:
+        r2 = build()
+        r2.render_single(spp=ZOO_SPP)
+        img_mk = r2.hdr_image()
+    finally:
+        os.environ.pop("FLT_FORCE_MK", None)
 
     assert np.isfinite(img_wf).all() and np.isfinite(img_mk).all()
     assert img_wf.mean() > 1e-3 and img_mk.mean() > 1e-3
+    assert not np.array_equal(np.asarray(img_wf), np.asarray(img_mk)), \
+        "wf and mk produced bit-identical images — the mk arm did not " \
+        "run the mk integrator (vacuous parity)"
     a, b = _tonemap(img_wf), _tonemap(img_mk)
     rmse = float(np.sqrt(np.mean((a - b) ** 2)))
     rmse4 = float(np.sqrt(np.mean((_box4(a) - _box4(b)) ** 2)))

@@ -82,6 +82,13 @@ step profile_r5_default 1800 python tools/profile_wf.py
 # if section 0 verified it; cheap either way)
 step profile_r5_pair_gather 1800 env FLT_PAIR_SORT=1 FLT_PERM=gather python tools/profile_wf.py
 
+# 1c. zoo parity with the TRUE mk integrator: the r5 zoo_parity run
+# compared wavefront to wavefront (render_single routes to the exact-spp
+# wavefront on TPU) and printed a vacuous rmse 0.0000; the tool now
+# forces FLT_FORCE_MK=1 for the second arm and asserts non-identity.
+# mk megastep compile at depth 8 is minutes (unrolled bounce loop).
+step zoo_parity_mk 3000 python tools/check_zoo_parity.py
+
 # 2. final full-length default-flags bench: refreshes
 # data/bench_last_good.json with the shipping config's number
 is_done final_bench_r5 || {

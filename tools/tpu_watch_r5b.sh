@@ -8,7 +8,7 @@ cd /root/repo
 WLOG=/tmp/tpu_watch_r5b.log
 DONE=data/sweep_logs/sections_done
 R5_SECTIONS="perm_bench e2e_r5_base e2e_r5_pairsort e2e_r5_permgather e2e_r5_permgather1 e2e_r5_pair_gather big_r5_481k zoo_r5 profile_r5_pair golden_fullzoo zoo_parity golden_floors goldens_check_r5"
-R5B_SECTIONS="e2e_r5_pair_gather_v2 e2e_r5_pair_gather_v3 e2e_r5_base_v2 e2e_r5_permgather_err profile_r5_default profile_r5_pair_gather final_bench_r5"
+R5B_SECTIONS="e2e_r5_pair_gather_v2 e2e_r5_pair_gather_v3 e2e_r5_base_v2 e2e_r5_permgather_err profile_r5_default profile_r5_pair_gather zoo_parity_mk final_bench_r5"
 
 remaining() {
   local n=0 s
