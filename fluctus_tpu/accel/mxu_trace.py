@@ -1345,17 +1345,17 @@ def _sort_key(o4, d4, lo, hi):
     return (oct_ << 15) | morton, minor
 
 
-def _perm_apply(perm, cols):
+def _perm_apply(perm, cols, mode):
     """Apply a row permutation to f32 columns instead of carrying each
     column through the sort network. The round-5 profile shows each
     carried sort operand staging HBM<->S(1) at ~4.5 ms per f32[1M].
     Two shapes, A/B'd on hardware by tools/bench_perm.py + the r5 sweep:
-      FLT_PERM=gather   ONE stacked [n,k] row-gather (k pads to 128
+      mode="gather"     ONE stacked [n,k] row-gather (k pads to 128
                         lanes on TPU — bandwidth-wasteful but a single
                         fused op)
-      FLT_PERM=gather1  k independent 1-D takes (no lane padding; k
-                        dispatches)"""
-    if flags.env("PERM", "sort") == "gather1":
+      mode="gather1"    k independent 1-D takes (no lane padding; k
+                        dispatches — measured catastrophic, 5.90 e2e)"""
+    if mode == "gather1":
         return [jnp.take(c, perm) for c in cols]
     g = jnp.take(jnp.stack(cols, axis=1), perm, axis=0)
     return [g[:, k] for k in range(len(cols))]
@@ -1369,13 +1369,13 @@ def _perm_invert(sidx):
         jnp.arange(n, dtype=jnp.int32), unique_indices=True)
 
 
-def _perm_unsort2(sidx, t_col, i_col):
+def _perm_unsort2(sidx, t_col, i_col, mode):
     """Restore (t f32, i int32) to original ray order by gathering with
     the inverse permutation: one stacked gather (``gather``; int column
     rides as a bitcast — gathers move bits, not values) or two 1-D
     takes (``gather1``)."""
     inv = _perm_invert(sidx)
-    if flags.env("PERM", "sort") == "gather1":
+    if mode == "gather1":
         return jnp.take(t_col, inv), jnp.take(i_col, inv)
     i_f = jax.lax.bitcast_convert_type(i_col, jnp.float32)
     g = jnp.take(jnp.stack([t_col, i_f], axis=1), inv, axis=0)
@@ -1443,7 +1443,15 @@ def _sorted_trace(o4, d4, tmax_col, scene, any_hit, ray_tile, interpret):
     # operand of a multi-payload lax.sort is an offload-staged column, so
     # fewer operands is a direct win.
     idx = jnp.arange(b, dtype=jnp.int32)
-    perm_gather = flags.env("PERM", "sort") in ("gather", "gather1")
+    # PERM_SINGLE, not PERM: the gather permutation on THIS (single-set)
+    # path reproducibly crashes the TPU worker ("kernel fault",
+    # 2026-08-20 repro: FLT_PERM=gather FLT_PAIR_SORT=0 python bench.py)
+    # while the pair path below runs it stably at +75% e2e. Until the
+    # fault is isolated, single-set traces (mk integrator, pick, shadow
+    # fallback) stay on the sort-carry machinery; the env escape exists
+    # for hardware triage only.
+    perm_mode = flags.env("PERM_SINGLE", "sort")
+    perm_gather = perm_mode in ("gather", "gather1")
     if key_mode == "oct" and not any_hit:
         # shadow (any-hit) rays keep the full 2-key sort: their direction
         # coherence is what makes occlusion tiles cheap, and the packed
@@ -1456,7 +1464,7 @@ def _sorted_trace(o4, d4, tmax_col, scene, any_hit, ray_tile, interpret):
                     d4[:, 0], d4[:, 1], d4[:, 2]]
             if not const_tmax:
                 cols.append(tmax_col[:, 0])
-            g = _perm_apply(sidx, cols)
+            g = _perm_apply(sidx, cols, perm_mode)
             ox, oy, oz, dx, dy, dz = g[:6]
             tm = g[6] if not const_tmax else None
         else:
@@ -1473,7 +1481,8 @@ def _sorted_trace(o4, d4, tmax_col, scene, any_hit, ray_tile, interpret):
             _, _, sidx = jax.lax.sort((kmaj, kmin, idx), num_keys=2)
             ox, oy, oz, dx, dy, dz, tm = _perm_apply(
                 sidx, [o4[:, 0], o4[:, 1], o4[:, 2],
-                       d4[:, 0], d4[:, 1], d4[:, 2], tmax_col[:, 0]])
+                       d4[:, 0], d4[:, 1], d4[:, 2], tmax_col[:, 0]],
+                perm_mode)
         else:
             ops = (kmaj, kmin, idx, o4[:, 0], o4[:, 1], o4[:, 2],
                    d4[:, 0], d4[:, 1], d4[:, 2], tmax_col[:, 0])
@@ -1489,7 +1498,7 @@ def _sorted_trace(o4, d4, tmax_col, scene, any_hit, ray_tile, interpret):
     # restore original order: sort by the carried original index, or
     # gather by the inverse permutation (FLT_PERM=gather)
     if perm_gather:
-        t_out, i_out = _perm_unsort2(sidx, t[:, 0], i[:, 0])
+        t_out, i_out = _perm_unsort2(sidx, t[:, 0], i[:, 0], perm_mode)
     else:
         _, t_out, i_out = jax.lax.sort((sidx, t[:, 0], i[:, 0]), num_keys=1)
     t_out = jnp.where(i_out >= 0, t_out, F32_MAX)
@@ -1529,13 +1538,14 @@ def _sorted_trace_pair(eo4, ed4, so4, sd4, sh_tmax_col, scene, ray_tile,
                       lo, hi)
     skey = jnp.where(etm[:, 0] <= 0.0, jnp.int32(0x7FFFFFFF), skey)
     idx = jnp.arange(b, dtype=jnp.int32)
-    if flags.env("PERM", "sort") in ("gather", "gather1"):
+    pair_perm = flags.env("PERM", "gather")
+    if pair_perm in ("gather", "gather1"):
         _, sidx = jax.lax.sort((skey, idx), num_keys=1)
         srt2 = _perm_apply(sidx, [
             eo4[:, 0], eo4[:, 1], eo4[:, 2],
             ed4[:, 0], ed4[:, 1], ed4[:, 2],
             so4[:, 0], so4[:, 1], so4[:, 2],
-            sd4[:, 0], sd4[:, 1], sd4[:, 2], sh_tm[:, 0]])
+            sd4[:, 0], sd4[:, 1], sd4[:, 2], sh_tm[:, 0]], pair_perm)
         srt = [None, sidx] + srt2
     else:
         srt = jax.lax.sort(
@@ -1562,8 +1572,8 @@ def _sorted_trace_pair(eo4, ed4, so4, sd4, sh_tmax_col, scene, ray_tile,
     # non-negative so the occlusion verdict can ride bit 30 of one column
     packed = (i_e[:, 0] + 1) | jnp.where(i_s[:, 0] >= 0,
                                          jnp.int32(1 << 30), jnp.int32(0))
-    if flags.env("PERM", "sort") in ("gather", "gather1"):
-        t_out, p_out = _perm_unsort2(sidx, t_e[:, 0], packed)
+    if pair_perm in ("gather", "gather1"):
+        t_out, p_out = _perm_unsort2(sidx, t_e[:, 0], packed, pair_perm)
     else:
         _, t_out, p_out = jax.lax.sort((sidx, t_e[:, 0], packed),
                                        num_keys=1)

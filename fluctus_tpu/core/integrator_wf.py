@@ -299,7 +299,7 @@ def wf_trace_phase(scene: DeviceScene, pool: WfPool, params: RenderParams,
     shadow_tmax = jnp.where(pool.shadow_pending, pool.shadow_len, 0.0)
     from ..accel import mxu_trace as mt
     if (has_raw and mt.SORT_RAYS and cfg.backend == "mxu"
-            and flags.env_bool("PAIR_SORT", False)
+            and flags.env_bool("PAIR_SORT", True)
             and flags.env("KEY", "oct") == "oct"):
         # shared-order pair trace: one sort + one unsort for both ray sets
         return trace_pair(pool.orig, pool.dir, pool.shadow_orig,

@@ -31,18 +31,31 @@ Knob inventory (defaults in parentheses):
     KEY ("oct")          ext-ray sort key: oct/none [call]
     KEY_SHADOW (=KEY)    shadow-ray override (occupancy cut needs a sort)
                          [call]
-    PERM ("sort")        permutation machinery: "sort" carries payload
-                         columns through lax.sort; "gather" sorts only
-                         (key, idx) and applies ONE stacked [n,k]
-                         row-gather + inverse-perm unsort (k pads to 128
-                         lanes); "gather1" ditto with k independent 1-D
-                         takes (no lane padding). Bit-identical results —
+    PERM ("gather")      PAIR-path permutation machinery: "gather"
+                         (default) sorts only (key, idx) and applies ONE
+                         stacked [n,k] row-gather + inverse-perm unsort
+                         (k pads to 128 lanes); "sort" carries payload
+                         columns through lax.sort; "gather1" uses k
+                         independent 1-D takes (no lane padding —
+                         measured catastrophic, 5.90 Mrays/s).
+                         Bit-identical results —
                          test_pair_sort.py::test_perm_gather_matches_sort;
-                         hardware A/B: tools/bench_perm.py + r5 sweep
+                         hardware A/B: tools/bench_perm.py + r5/r5b sweep
+                         (PAIR_SORT=1+gather 28.25/28.24 vs sort-carry
+                         base 16.19 Mrays/s, PERF.md) [call]
+    PERM_SINGLE ("sort") same machinery on the SINGLE-set sorted trace
+                         (mk integrator, pick, shadow fallback). Default
+                         stays "sort": gather on this path reproducibly
+                         kernel-faults the TPU worker (PERF.md round-5
+                         landmine; repro FLT_PERM_SINGLE=gather
+                         FLT_PAIR_SORT=0 bench.py). Triage escape only
                          [call]
-    PAIR_SORT ("0")      ext+shadow share ONE sort/unsort pair (18 sorted
+    PAIR_SORT ("1")      ext+shadow share ONE sort/unsort pair (14 sorted
                          columns in 2 programs vs 24 in 4; shadow rides
-                         the ext order — sweep pending) [call]
+                         the ext order). With PERM=gather this is the
+                         r5b-verified +75% default; with PERM=sort it
+                         LOSES (13.78 vs 16.04 — the 15-operand sort
+                         pays a real carry premium) [call]
     TILE_ORDER ("2")     per-tile candidate builder version [call]
     DIST_LO ("1")        box-box distance lower bound in tile culling
                          (r2: 2x on bounce tiles) [call]

@@ -125,13 +125,17 @@ def test_perm_gather_matches_sort(teapot, monkeypatch, mode):
     eo4, ed4, _ = mt._ray_inputs(eo, ed, mxu, None, 256)
     so4, sd4, stm_col = mt._ray_inputs(so, sd, mxu, stm, 256)
 
-    monkeypatch.delenv("FLT_PERM", raising=False)
+    # Baseline leg pins BOTH flags to the sort-carry machinery (the pair
+    # path now defaults to gather, the single-set path to sort).
+    monkeypatch.setenv("FLT_PERM", "sort")
+    monkeypatch.setenv("FLT_PERM_SINGLE", "sort")
     t_e0, c_e0 = mt._sorted_trace(eo4, ed4, None, mxu, False, 256, True)
     _, i_s0 = mt._sorted_trace(so4, sd4, stm_col, mxu, True, 256, True)
     tp0, cp0, op0 = mt.trace_pair_mxu(eo, ed, so, sd, stm, mxu,
                                       ray_tile=256, interpret=True)
 
     monkeypatch.setenv("FLT_PERM", mode)
+    monkeypatch.setenv("FLT_PERM_SINGLE", mode)
     t_e1, c_e1 = mt._sorted_trace(eo4, ed4, None, mxu, False, 256, True)
     _, i_s1 = mt._sorted_trace(so4, sd4, stm_col, mxu, True, 256, True)
     tp1, cp1, op1 = mt.trace_pair_mxu(eo, ed, so, sd, stm, mxu,
