@@ -21,8 +21,14 @@ def main():
     s = Settings()
     s.use_env_map = True
     r = Renderer(1920, 1080, settings=s, data_dir="data")
-    r.load_scene("/root/reference/assets/egyptcat/egyptcat.obj",
-                 env_map="/root/reference/assets/env_maps/night.hdr")
+    # PROF_SCENE=zoo profiles the 622k-tri full-material-zoo bench entry
+    # (the slowest per-ray workload); default is the egyptcat headline.
+    if os.environ.get("PROF_SCENE", "egyptcat") == "zoo":
+        r.load_scene("data/bigscene/full_zoo.sc.json",
+                     env_map="/root/reference/assets/env_maps/night.hdr")
+    else:
+        r.load_scene("/root/reference/assets/egyptcat/egyptcat.obj",
+                     env_map="/root/reference/assets/env_maps/night.hdr")
     tasks = int(os.environ.get("BENCH_TASKS", str(1 << 20)))
     r.init_wavefront(tasks)
     r.render_wavefront(3)   # warmup + compile
